@@ -1,0 +1,153 @@
+"""Recall@K ranking metrics, computed entirely on device.
+
+Reference semantics: itr/metricmodule/evaluation.py:156-259 (i2t/t2i/cal_recall).
+The reference ranks with a host-side `np.argsort` per query; here ranks are
+rank-by-counting (`rank(gt) = #{scores strictly greater than score(gt)}`),
+which is a single vectorized comparison + reduction and maps onto the VPU with
+no sort at all. On exact float ties this is the optimistic rank (the reference
+argsort breaks ties by descending index); ties have measure zero for real
+similarity matrices.
+
+The sim-matrix convention is the reference's: `sims[i, c]` is the similarity
+between image `i` (of N deduplicated images) and caption `c` (of `cap_ratio*N`
+captions, captions `cap_ratio*i .. cap_ratio*i+cap_ratio-1` being the ground
+truth for image `i`), with cap_ratio = 5 for the standard datasets.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RankStats(NamedTuple):
+    r1: jnp.ndarray
+    r5: jnp.ndarray
+    r10: jnp.ndarray
+    medr: jnp.ndarray
+    meanr: jnp.ndarray
+
+    def as_tuple(self):
+        return (
+            float(self.r1),
+            float(self.r5),
+            float(self.r10),
+            float(self.medr),
+            float(self.meanr),
+        )
+
+
+def _stats_from_ranks(ranks: jnp.ndarray) -> RankStats:
+    n = ranks.shape[0]
+    r1 = 100.0 * jnp.sum(ranks < 1) / n
+    r5 = 100.0 * jnp.sum(ranks < 5) / n
+    r10 = 100.0 * jnp.sum(ranks < 10) / n
+    # np.floor(np.median(...)) + 1, ref evaluation.py:184.  For even n numpy
+    # median averages the two central values; replicate by sorting once.
+    sorted_ranks = jnp.sort(ranks)
+    if n % 2 == 1:
+        med = sorted_ranks[n // 2].astype(jnp.float32)
+    else:
+        med = (sorted_ranks[n // 2 - 1] + sorted_ranks[n // 2]).astype(jnp.float32) / 2.0
+    medr = jnp.floor(med) + 1.0
+    meanr = jnp.mean(ranks.astype(jnp.float32)) + 1.0
+    return RankStats(r1, r5, r10, medr, meanr)
+
+
+def i2t_ranks(sims: jnp.ndarray, cap_ratio: int = 5) -> jnp.ndarray:
+    """Per-image best rank over its `cap_ratio` ground-truth captions.
+
+    sims: (N, cap_ratio*N).  Ref evaluation.py:156-189 takes, for each image,
+    the best argsort position among its 5 captions; here that is the min over
+    the 5 per-caption counting ranks.
+    """
+    n = sims.shape[0]
+    gt_cols = (
+        jnp.arange(n)[:, None] * cap_ratio + jnp.arange(cap_ratio)[None, :]
+    )  # (N, cap_ratio)
+    gt_scores = jnp.take_along_axis(sims, gt_cols, axis=1)  # (N, cap_ratio)
+    # rank of each gt caption: captions scoring strictly higher in that row
+    ranks_per_gt = jnp.sum(
+        sims[:, None, :] > gt_scores[:, :, None], axis=-1
+    )  # (N, cap_ratio)
+    return jnp.min(ranks_per_gt, axis=1)
+
+
+def t2i_ranks(sims: jnp.ndarray, cap_ratio: int = 5) -> jnp.ndarray:
+    """Per-caption rank of its ground-truth image.  Ref evaluation.py:192-222."""
+    n = sims.shape[0]
+    n_cap = sims.shape[1]
+    img_of_cap = jnp.arange(n_cap) // cap_ratio  # (5N,)
+    gt_scores = sims[img_of_cap, jnp.arange(n_cap)]  # (5N,)
+    return jnp.sum(sims > gt_scores[None, :], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_ratio",))
+def _rank_metrics(sims: jnp.ndarray, cap_ratio: int = 5):
+    ri2t = i2t_ranks(sims, cap_ratio)
+    rt2i = t2i_ranks(sims, cap_ratio)
+    return _stats_from_ranks(ri2t), _stats_from_ranks(rt2i), ri2t, rt2i
+
+
+def i2t(sims, return_ranks: bool = False, cap_ratio: int = 5):
+    """(r1, r5, r10, medr, meanr) for image→text.  API mirror of ref i2t."""
+    sims = jnp.asarray(sims)
+    stats, _, ranks, _ = _rank_metrics(sims, cap_ratio)
+    if return_ranks:
+        top1 = jnp.argmax(sims, axis=1)
+        return stats.as_tuple(), (np.asarray(ranks), np.asarray(top1))
+    return stats.as_tuple()
+
+
+def t2i(sims, return_ranks: bool = False, cap_ratio: int = 5):
+    """(r1, r5, r10, medr, meanr) for text→image.  API mirror of ref t2i."""
+    sims = jnp.asarray(sims)
+    _, stats, _, ranks = _rank_metrics(sims, cap_ratio)
+    if return_ranks:
+        top1 = jnp.argmax(sims, axis=0)
+        return stats.as_tuple(), (np.asarray(ranks), np.asarray(top1))
+    return stats.as_tuple()
+
+
+def cal_recall(sims, cap_ratio: int = 5, verbose: bool = True) -> dict:
+    """Aggregate both directions + rsum into a result dict.
+
+    Mirrors ref evaluation.py:225-259 (keys included), minus the raw rank
+    arrays unless asked for.
+    """
+    sims = jnp.asarray(sims)
+    st_i2t, st_t2i, ranks_i2t, ranks_t2i = _rank_metrics(sims, cap_ratio)
+    r = st_i2t.as_tuple()
+    ri = st_t2i.as_tuple()
+    ar = (r[0] + r[1] + r[2]) / 3
+    ari = (ri[0] + ri[1] + ri[2]) / 3
+    rsum = r[0] + r[1] + r[2] + ri[0] + ri[1] + ri[2]
+    if verbose:
+        print("rsum: %.1f" % rsum)
+        print("Average i2t Recall: %.1f" % ar)
+        print("Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % r)
+        print("Average t2i Recall: %.1f" % ari)
+        print("Text to image: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % ri)
+    res = {
+        "result": [list(r) + list(ri) + [ar, ari, rsum]],
+        "rsum": rsum,
+        "i2t_ave_r": ar,
+        "i2t_r1": r[0],
+        "i2t_r5": r[1],
+        "i2t_r10": r[2],
+        "i2t_medr": r[3],
+        "i2t_meanr": r[4],
+        "i2t_ranks": np.asarray(ranks_i2t),
+        "t2i_ave_r": ari,
+        "t2i_r1": ri[0],
+        "t2i_r5": ri[1],
+        "t2i_r10": ri[2],
+        "t2i_medr": ri[3],
+        "t2i_meanr": ri[4],
+        "t2i_ranks": np.asarray(ranks_t2i),
+    }
+    return res
