@@ -1,0 +1,302 @@
+"""Device-resident evaluation engine.
+
+Reference: itr/metricmodule/evaluation.py — encode_data (:75-121), cal_sims
+(:124-153), evalrank_single (:262-335), evalrank_ensemble (:338-435).
+
+TPU redesign (the north-star workload, SURVEY.md §3.3): per-batch jitted
+encoding with static shapes, the full (N_img, N_cap) similarity matrix
+computed in device-resident tiles (no host round-trips per shard like the
+reference's numpy->cuda block loop), then rank metrics on device.
+
+Reference bug #3 (SURVEY.md §2.11) — passing the full cap_lens array to every
+caption shard so shards j>0 use wrong lengths — is fixed by construction:
+each tile carries its own caption mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import get_model
+from ..utils.checkpoint import load_checkpoint
+from . import metrics
+
+
+def _pad_to(x, n, axis=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def encode_data(model, variables, dataset, batch_size: int):
+    """Encode a full split; returns dict of stacked embeddings (+masks, on device).
+
+    Mirror of ref encode_data (evaluation.py:75-121) without the host numpy
+    staging: the final padded batch is trimmed after stacking.
+    """
+
+    @jax.jit
+    def embed_fn(batch):
+        return model.apply(variables, batch, train=False, method="embed")
+
+    outs = []
+    for batch in dataset.eval_batches(batch_size):
+        n_valid = batch.pop("n_valid")
+        e = embed_fn({k: jnp.asarray(v) for k, v in batch.items()})
+        outs.append((e, n_valid))
+
+    keys = outs[0][0].keys()
+    result = {}
+    for k in keys:
+        parts = [e[k][: int(nv)] for e, nv in outs]
+        result[k] = jnp.concatenate(parts, axis=0)
+    return result
+
+
+def cal_sims(
+    model,
+    variables,
+    img_embs,
+    cap_embs,
+    cap_mask=None,
+    img_tile: int = 256,
+    cap_tile: int = 1024,
+    verbose: bool = True,
+):
+    """Full (N_img, N_cap) similarity matrix in device-resident tiles.
+
+    Tiles are padded to static shapes so only one similarity kernel is
+    compiled; the padded rows/cols are trimmed from the result.
+    """
+    ni, nc = img_embs.shape[0], cap_embs.shape[0]
+    img_tile = min(img_tile, ni)
+    cap_tile = min(cap_tile, nc)
+
+    @jax.jit
+    def sim_fn(img, cap, mask):
+        return model.apply(
+            variables, img, cap, mask, train=False, method="similarity"
+        )
+
+    t0 = time.time()
+    n_it = -(-ni // img_tile)
+    n_ct = -(-nc // cap_tile)
+    rows = []
+    for i in range(n_it):
+        i0, i1 = i * img_tile, min((i + 1) * img_tile, ni)
+        img_t = _pad_to(img_embs[i0:i1], img_tile)
+        cols = []
+        for j in range(n_ct):
+            j0, j1 = j * cap_tile, min((j + 1) * cap_tile, nc)
+            cap_t = _pad_to(cap_embs[j0:j1], cap_tile)
+            if cap_mask is not None:
+                mask_t = _pad_to(cap_mask[j0:j1], cap_tile)
+                # padded captions get one valid token to keep kernels finite
+                mask_t = mask_t.at[j1 - j0 :, 0].set(1.0) if j1 - j0 < cap_tile else mask_t
+            else:
+                mask_t = None
+            s = sim_fn(img_t, cap_t, mask_t)
+            cols.append(s[: i1 - i0, : j1 - j0])
+        rows.append(jnp.concatenate(cols, axis=1))
+    sims = jnp.concatenate(rows, axis=0)
+    sims.block_until_ready()
+    if verbose:
+        print(
+            "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
+        )
+    return sims
+
+
+def evaluate_split(model, variables, dataset, config, fold5: bool = False):
+    """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
+    enc = encode_data(model, variables, dataset, config["batch_size"])
+    img_embs = enc["img"]
+    cap_embs = enc["cap"]
+    cap_mask = enc.get("cap_mask")
+    im_div = dataset.im_div
+
+    if not fold5:
+        imgs = img_embs[::im_div]
+        sims = cal_sims(
+            model,
+            variables,
+            imgs,
+            cap_embs,
+            cap_mask,
+            img_tile=config.get("eval_img_tile", 256),
+            cap_tile=config.get("eval_cap_tile", 1024),
+        )
+        res = metrics.cal_recall(sims, cap_ratio=im_div)
+        res["data_name"] = config["data_name"]
+        return res
+
+    # 5-fold cross-validation over coco testall (ref evaluation.py:293-331)
+    res = {"sum_result": []}
+    for i in range(5):
+        sl = slice(i * 5000, (i + 1) * 5000)
+        imgs_block = img_embs[sl][::5]
+        caps_block = cap_embs[sl]
+        mask_block = cap_mask[sl] if cap_mask is not None else None
+        sims = cal_sims(
+            model,
+            variables,
+            imgs_block,
+            caps_block,
+            mask_block,
+            img_tile=config.get("eval_img_tile", 256),
+            cap_tile=config.get("eval_cap_tile", 1024),
+        )
+        print(f"--------------------- The {i + 1} part ---------------------")
+        r = metrics.cal_recall(sims)
+        res[f"PART_{i + 1}"] = r
+        res["sum_result"] += r["result"]
+
+    mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
+    print("---------------------------------------------------------")
+    print("--------------------- Mean metrics: ---------------------")
+    print("rsum: %.1f" % (mean_metrics[10] * 6))
+    print("Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[:5])
+    print("Text to image: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[5:10])
+    mm = {
+        "rsum": mean_metrics[10] * 6,
+        "i2t_r1": mean_metrics[0],
+        "i2t_r5": mean_metrics[1],
+        "i2t_r10": mean_metrics[2],
+        "i2t_medr": mean_metrics[3],
+        "i2t_meanr": mean_metrics[4],
+        "t2i_r1": mean_metrics[5],
+        "t2i_r5": mean_metrics[6],
+        "t2i_r10": mean_metrics[7],
+        "t2i_medr": mean_metrics[8],
+        "t2i_meanr": mean_metrics[9],
+        "i2t_ave_r": mean_metrics[11],
+        "t2i_ave_r": mean_metrics[12],
+    }
+    res["Mean_metrics"] = mm
+    res["data_name"] = config["data_name"] + "_5fold"
+    return res
+
+
+def _load_model_for_eval(model_path, data_path=None):
+    ckpt = load_checkpoint(model_path)
+    config = ckpt["config"]
+    print(
+        "Best model: Epoch = {}, Eiters = {}, Rsum = {:.2f}, R1 = {:.2f}".format(
+            ckpt["epoch"], ckpt["Eiters"], ckpt["best_rsum"], ckpt["best_r1"]
+        )
+    )
+    if data_path is not None:
+        config["data_path"] = data_path
+    model = get_model(config)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+    # msgpack restore yields numpy arrays; move to device once so jitted
+    # closures can index them with tracers
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables, config, ckpt
+
+
+def _dump_result(res, model_path, suffix):
+    save_dir = os.path.dirname(model_path)
+    out = {
+        k: v
+        for k, v in res.items()
+        if not isinstance(v, np.ndarray)
+    }
+    path = os.path.join(save_dir, f"{res['data_name']}_{suffix}_result.yaml")
+    try:
+        import yaml
+
+        def clean(o):
+            if isinstance(o, dict):
+                return {k: clean(v) for k, v in o.items() if not isinstance(v, np.ndarray)}
+            if isinstance(o, (np.floating, np.integer)):
+                return float(o)
+            return o
+
+        with open(path, "w") as f:
+            yaml.dump(clean(out), f)
+    except ImportError:
+        pass
+    return path
+
+
+def evalrank_single(model_path, data_path=None, split="dev", fold5=False):
+    """Offline evaluation of one checkpoint (ref evaluation.py:262-335)."""
+    from ..data import precomp
+
+    model, variables, config, _ = _load_model_for_eval(model_path, data_path)
+    print(f"Loading dataset : {config['data_name']} ......")
+    dataset, _ = precomp.get_test_loader(split, config)
+    print("Computing results...")
+    res = evaluate_split(model, variables, dataset, config, fold5=fold5)
+    _dump_result(res, model_path, "single")
+    return res
+
+
+def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold5=False):
+    """Two-checkpoint ensemble: average the two sim matrices (ref :338-435)."""
+    from ..data import precomp
+
+    model, variables, config, _ = _load_model_for_eval(model_path, data_path)
+    model2, variables2, config2, _ = _load_model_for_eval(model_path2, data_path)
+
+    dataset, _ = precomp.get_test_loader(split, config)
+
+    def sims_of(m, v, cfg):
+        enc = encode_data(m, v, dataset, cfg["batch_size"])
+        return enc
+
+    enc1 = sims_of(model, variables, config)
+    enc2 = sims_of(model2, variables2, config2)
+    im_div = dataset.im_div
+
+    def block_sims(enc, m, v, cfg, sl=None):
+        img = enc["img"] if sl is None else enc["img"][sl]
+        cap = enc["cap"] if sl is None else enc["cap"][sl]
+        mask = enc.get("cap_mask")
+        if mask is not None and sl is not None:
+            mask = mask[sl]
+        return cal_sims(
+            m, v, img[::im_div if sl is None else 5], cap, mask,
+            img_tile=cfg.get("eval_img_tile", 256),
+            cap_tile=cfg.get("eval_cap_tile", 1024),
+        )
+
+    if not fold5:
+        sims = (
+            block_sims(enc1, model, variables, config)
+            + block_sims(enc2, model2, variables2, config2)
+        ) / 2.0
+        res = metrics.cal_recall(sims, cap_ratio=im_div)
+        res["data_name"] = config["data_name"]
+    else:
+        res = {"sum_result": []}
+        for i in range(5):
+            sl = slice(i * 5000, (i + 1) * 5000)
+            sims = (
+                block_sims(enc1, model, variables, config, sl)
+                + block_sims(enc2, model2, variables2, config2, sl)
+            ) / 2.0
+            print(f"--------------------- The {i + 1} part ---------------------")
+            r = metrics.cal_recall(sims)
+            res[f"PART_{i + 1}"] = r
+            res["sum_result"] += r["result"]
+        mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
+        print("rsum: %.1f" % (mean_metrics[10] * 6))
+        res["Mean_metrics"] = {"rsum": mean_metrics[10] * 6}
+        res["data_name"] = config["data_name"] + "_5fold"
+    res["modal_path_1"] = model_path
+    res["modal_path_2"] = model_path2
+    _dump_result(res, model_path, "ensemble")
+    return res

@@ -1,0 +1,266 @@
+"""The six retrieval methods as flax modules.
+
+Reference: itr/modalmodule/Models.py.  Each method exposes three entry points
+(used via `module.apply(..., method=...)`):
+
+ - `embed(batch, train)`  -> dict of embeddings (+ masks / extras),
+ - `similarity(img, cap, cap_mask, train)` -> (Ni, Nc) score block — the
+   method-owned similarity the metric layer tiles over the full grid (the
+   reference's `cal_sims` dispatch, evaluation.py:128-131),
+ - `loss(batch, train)` -> (scalar, aux dict) — the training objective.
+
+`__call__` aliases `loss` so `module.init` traces every parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import attention, losses, sim
+from .img_encoders import EncoderImagePrecomp, EncoderImagePrecompAttn
+from .txt_encoders import EncoderText
+from .sgraf import EncoderSimilarity
+from .vsrn_decoder import S2VTAttModel
+
+
+class VSEPP(nn.Module):
+    """VSE++ (ref Models.py:63-144): global embeddings + cosine/order hinge."""
+
+    vocab_size: int
+    embed_size: int = 1024
+    word_dim: int = 300
+    measure: str = "cosine"
+    use_abs: bool = False
+    no_imgnorm: bool = False
+    margin: float = 0.2
+    max_violation: bool = False
+
+    def setup(self):
+        self.img_enc = EncoderImagePrecomp(
+            embed_size=self.embed_size,
+            no_imgnorm=self.no_imgnorm,
+            precomp_enc_type="basic",
+            use_abs=self.use_abs,
+        )
+        # ref Models.py:77-79 passes no_txtnorm=False unconditionally
+        self.txt_enc = EncoderText(
+            vocab_size=self.vocab_size,
+            word_dim=self.word_dim,
+            embed_size=self.embed_size,
+            use_abs=self.use_abs,
+            no_txtnorm=False,
+            sentence_level=True,
+        )
+
+    def embed(self, batch, train: bool = False):
+        img = self.img_enc(batch["images"])
+        cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
+        return {"img": img, "cap": cap}
+
+    def similarity(self, img, cap, cap_mask=None, train: bool = False):
+        if self.measure == "order":
+            return sim.order_sim(img, cap)
+        return sim.cosine_sim(img, cap)
+
+    def loss(self, batch, train: bool = True, epoch=0):
+        e = self.embed(batch, train=train)
+        scores = self.similarity(e["img"], e["cap"], train=train)
+        loss = losses.contrastive_hinge(scores, self.margin, self.max_violation)
+        return loss, {"Loss": loss}
+
+    def __call__(self, batch, train: bool = True, epoch=0):
+        return self.loss(batch, train=train, epoch=epoch)
+
+
+class SCAN(nn.Module):
+    """SCAN (ref Models.py:148-225): stacked cross-attention similarity."""
+
+    vocab_size: int
+    embed_size: int = 1024
+    word_dim: int = 300
+    bi_gru: bool = False
+    no_imgnorm: bool = False
+    no_txtnorm: bool = True
+    precomp_enc_type: str = "basic"
+    margin: float = 0.2
+    max_violation: bool = False
+    cross_attn: str = "t2i"
+    raw_feature_norm: str = "clipped_l2norm"
+    agg_func: str = "LogSumExp"
+    lambda_lse: float = 6.0
+    lambda_softmax: float = 9.0
+
+    def setup(self):
+        self.img_enc = EncoderImagePrecomp(
+            embed_size=self.embed_size,
+            no_imgnorm=self.no_imgnorm,
+            precomp_enc_type=self.precomp_enc_type,
+        )
+        self.txt_enc = EncoderText(
+            vocab_size=self.vocab_size,
+            word_dim=self.word_dim,
+            embed_size=self.embed_size,
+            use_bi_gru=self.bi_gru,
+            no_txtnorm=self.no_txtnorm,
+        )
+
+    def embed(self, batch, train: bool = False):
+        img = self.img_enc(batch["images"])
+        cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
+        return {"img": img, "cap": cap, "cap_mask": batch["cap_mask"]}
+
+    def similarity(self, img, cap, cap_mask, train: bool = False):
+        fn = (
+            attention.xattn_score_t2i
+            if self.cross_attn == "t2i"
+            else attention.xattn_score_i2t
+        )
+        return fn(
+            img,
+            cap,
+            cap_mask,
+            raw_feature_norm=self.raw_feature_norm,
+            agg_func=self.agg_func,
+            lambda_lse=self.lambda_lse,
+            lambda_softmax=self.lambda_softmax,
+        )
+
+    def loss(self, batch, train: bool = True, epoch=0):
+        e = self.embed(batch, train=train)
+        scores = self.similarity(e["img"], e["cap"], e["cap_mask"], train=train)
+        loss = losses.contrastive_hinge(scores, self.margin, self.max_violation)
+        return loss, {"Loss": loss}
+
+    def __call__(self, batch, train: bool = True, epoch=0):
+        return self.loss(batch, train=train, epoch=epoch)
+
+
+class VSRN(nn.Module):
+    """VSRN (ref Models.py:229-365): GCN image reasoning + caption-decoder aux loss."""
+
+    vocab_size: int
+    embed_size: int = 2048
+    word_dim: int = 300
+    data_name: str = "f30k_precomp"
+    measure: str = "cosine"
+    use_abs: bool = False
+    no_imgnorm: bool = False
+    no_txtnorm: bool = False
+    margin: float = 0.2
+    max_violation: bool = False
+    max_len: int = 60
+    dim_hidden: int = 512
+    dim_vid: int = 2048
+    dim_word: int = 300
+    input_dropout_p: float = 0.2
+
+    def setup(self):
+        self.img_enc = EncoderImagePrecompAttn(
+            embed_size=self.embed_size,
+            data_name=self.data_name,
+            use_abs=self.use_abs,
+            no_imgnorm=self.no_imgnorm,
+        )
+        self.txt_enc = EncoderText(
+            vocab_size=self.vocab_size,
+            word_dim=self.word_dim,
+            embed_size=self.embed_size,
+            use_abs=self.use_abs,
+            no_txtnorm=self.no_txtnorm,
+            sentence_level=True,
+        )
+        self.caption_model = S2VTAttModel(
+            vocab_size=self.vocab_size,
+            max_len=self.max_len,
+            dim_vid=self.dim_vid,
+            dim_hidden=self.dim_hidden,
+            dim_word=self.dim_word,
+            input_dropout_p=self.input_dropout_p,
+        )
+
+    def embed(self, batch, train: bool = False):
+        img, gcn = self.img_enc(batch["images"], train=train)
+        cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
+        return {"img": img, "cap": cap, "gcn": gcn}
+
+    def similarity(self, img, cap, cap_mask=None, train: bool = False):
+        if self.measure == "order":
+            return sim.order_sim(img, cap)
+        return sim.cosine_sim(img, cap)
+
+    def loss(self, batch, train: bool = True, epoch=0):
+        e = self.embed(batch, train=train)
+        scores = self.similarity(e["img"], e["cap"], train=train)
+        retrieval = losses.contrastive_hinge(scores, self.margin, self.max_violation)
+        logprobs = self.caption_model(e["gcn"], batch["label_ids"], train=train)
+        caption = losses.language_model_loss(
+            logprobs, batch["label_ids"][:, 1:], batch["label_mask"][:, 1:]
+        )
+        loss = retrieval + caption
+        return loss, {
+            "Loss": loss,
+            "Loss_retrieval": retrieval,
+            "Loss_caption": caption,
+        }
+
+    def __call__(self, batch, train: bool = True, epoch=0):
+        return self.loss(batch, train=train, epoch=epoch)
+
+
+class SGRAF(nn.Module):
+    """SGRAF (ref Models.py:468-546): similarity tower scores + hinge."""
+
+    vocab_size: int
+    embed_size: int = 1024
+    word_dim: int = 300
+    sim_dim: int = 256
+    bi_gru: bool = True
+    no_imgnorm: bool = False
+    no_txtnorm: bool = False
+    module_name: str = "SGR"
+    sgr_step: int = 3
+    margin: float = 0.2
+    max_violation: bool = False
+    cap_chunk: int = 32
+
+    def setup(self):
+        self.img_enc = EncoderImagePrecomp(
+            embed_size=self.embed_size,
+            no_imgnorm=self.no_imgnorm,
+            precomp_enc_type="basic",
+        )
+        self.txt_enc = EncoderText(
+            vocab_size=self.vocab_size,
+            word_dim=self.word_dim,
+            embed_size=self.embed_size,
+            use_bi_gru=self.bi_gru,
+            no_txtnorm=self.no_txtnorm,
+            dropout=0.4,
+        )
+        self.sim_enc = EncoderSimilarity(
+            embed_size=self.embed_size,
+            sim_dim=self.sim_dim,
+            module_name=self.module_name,
+            sgr_step=self.sgr_step,
+            cap_chunk=self.cap_chunk,
+        )
+
+    def embed(self, batch, train: bool = False):
+        img = self.img_enc(batch["images"])
+        cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
+        return {"img": img, "cap": cap, "cap_mask": batch["cap_mask"]}
+
+    def similarity(self, img, cap, cap_mask, train: bool = False):
+        return self.sim_enc(img, cap, cap_mask, train=train)
+
+    def loss(self, batch, train: bool = True, epoch=0):
+        e = self.embed(batch, train=train)
+        scores = self.similarity(e["img"], e["cap"], e["cap_mask"], train=train)
+        loss = losses.contrastive_hinge(scores, self.margin, self.max_violation)
+        return loss, {"Loss": loss}
+
+    def __call__(self, batch, train: bool = True, epoch=0):
+        return self.loss(batch, train=train, epoch=epoch)

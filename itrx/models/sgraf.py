@@ -1,0 +1,223 @@
+"""SGRAF similarity tower (ref itr/modalmodule/Fusionmodule.py:373-664).
+
+The reference loops over captions in Python, building per-caption alignment
+vectors against all images (`EncoderSimilarity.forward`, :406-451).  Here the
+tower is fully batched over caption *chunks*: each chunk computes its
+(chunk*Ni, L+1, sim_dim) alignment tensor, runs SGR graph steps / SAF
+filtration, and reduces to an (Ni, chunk) score block.  Chunking bounds peak
+activation memory; at train time each chunk is rematerialized
+(`nn.remat`) so the backward pass never holds more than one chunk's
+activations.
+
+Masking notes (the reference slices captions to their true length, so padded
+words must be excluded here): word positions are masked out of the SCAN
+attention, of TextSA's softmax, and of the SGR/SAF node set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import scan_attention_context
+from ..ops.norms import l1norm, l2norm
+from .layers import TorchBatchNorm, XavierLinear
+
+NEG_INF = -1e18
+
+
+class VisualSA(nn.Module):
+    """Global image embedding by region self-attention (ref :464-512).
+
+    BatchNorm1d(num_region) on (B, R, D) pools stats over (B, D) per region —
+    replicated with feature axis = region axis.
+    """
+
+    embed_dim: int
+    dropout_rate: float = 0.4
+
+    @nn.compact
+    def __call__(self, local, raw_global, train: bool = False):
+        l_emb = XavierLinear(self.embed_dim, name="local_fc")(local)
+        l_emb = TorchBatchNorm(use_running_average=not train, axis=1, name="local_bn")(
+            l_emb
+        )
+        l_emb = jnp.tanh(l_emb)
+        l_emb = nn.Dropout(self.dropout_rate, deterministic=not train)(l_emb)
+
+        g_emb = XavierLinear(self.embed_dim, name="global_fc")(raw_global)
+        g_emb = TorchBatchNorm(use_running_average=not train, name="global_bn")(g_emb)
+        g_emb = jnp.tanh(g_emb)
+        g_emb = nn.Dropout(self.dropout_rate, deterministic=not train)(g_emb)
+
+        common = l_emb * g_emb[:, None, :]
+        weights = XavierLinear(1, name="common_fc")(common)[..., 0]
+        weights = jax.nn.softmax(weights, axis=1)
+        new_global = jnp.sum(weights[..., None] * local, axis=1)
+        return l2norm(new_global, axis=-1)
+
+
+class TextSA(nn.Module):
+    """Global text embedding by word self-attention (ref :515-561), masked."""
+
+    embed_dim: int
+    dropout_rate: float = 0.4
+
+    @nn.compact
+    def __call__(self, local, raw_global, mask, train: bool = False):
+        l_emb = XavierLinear(self.embed_dim, name="local_fc")(local)
+        l_emb = jnp.tanh(l_emb)
+        l_emb = nn.Dropout(self.dropout_rate, deterministic=not train)(l_emb)
+
+        g_emb = XavierLinear(self.embed_dim, name="global_fc")(raw_global)
+        g_emb = jnp.tanh(g_emb)
+        g_emb = nn.Dropout(self.dropout_rate, deterministic=not train)(g_emb)
+
+        common = l_emb * g_emb[:, None, :]
+        weights = XavierLinear(1, name="common_fc")(common)[..., 0]
+        weights = jnp.where(mask > 0, weights, NEG_INF)
+        weights = jax.nn.softmax(weights, axis=1)
+        new_global = jnp.sum(weights[..., None] * local, axis=1)
+        return l2norm(new_global, axis=-1)
+
+
+class GraphReasoning(nn.Module):
+    """One SGR step: self-attention over L+1 alignment nodes (ref :564-597)."""
+
+    sim_dim: int
+
+    @nn.compact
+    def __call__(self, sim_emb, node_mask):
+        q = XavierLinear(self.sim_dim, name="query_w")(sim_emb)
+        k = XavierLinear(self.sim_dim, name="key_w")(sim_emb)
+        edge = jnp.einsum("bnd,bmd->bnm", q, k)
+        edge = jnp.where(node_mask[:, None, :] > 0, edge, NEG_INF)
+        edge = jax.nn.softmax(edge, axis=-1)
+        sgr = jnp.einsum("bnm,bmd->bnd", edge, sim_emb)
+        return nn.relu(XavierLinear(self.sim_dim, name="graph_w")(sgr))
+
+
+class AttentionFiltration(nn.Module):
+    """SAF: gated L1-norm attention pooling over nodes (ref :600-629).
+
+    The reference's BatchNorm1d(1) has a single channel with stats over
+    (batch, nodes); replicated by flattening to (B*N, 1) features.
+    """
+
+    sim_dim: int
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, sim_emb, node_mask):
+        b, n, _ = sim_emb.shape
+        attn = XavierLinear(1, name="attn_w")(sim_emb)[..., 0]  # (B, N)
+        attn = TorchBatchNorm(use_running_average=not self.train, name="bn")(
+            attn.reshape(b * n, 1)
+        ).reshape(b, n)
+        attn = jax.nn.sigmoid(attn) * node_mask
+        attn = l1norm(attn, axis=-1)
+        saf = jnp.einsum("bn,bnd->bd", attn, sim_emb)
+        return l2norm(saf, axis=-1)
+
+
+class _ChunkScorer(nn.Module):
+    """Score one caption chunk against all images; params shared across chunks."""
+
+    embed_size: int
+    sim_dim: int
+    module_name: str
+    sgr_step: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c):
+        ni = img_emb.shape[0]
+        c = cap_c.shape[0]
+        cap_x = jnp.repeat(cap_c, ni, axis=0)  # (C*Ni, L, D)
+        mask_x = jnp.repeat(mask_c, ni, axis=0)
+        img_x = jnp.tile(img_emb, (c, 1, 1))
+        ctx = scan_attention_context(cap_x, img_x, mask_x, smooth=9.0)
+        sim_loc = (ctx - cap_x) ** 2
+        sim_loc = l2norm(
+            XavierLinear(self.sim_dim, name="sim_tranloc_w")(sim_loc), axis=-1
+        )
+
+        sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2  # (C, Ni, D)
+        sim_glo = l2norm(
+            XavierLinear(self.sim_dim, name="sim_tranglo_w")(sim_glo), axis=-1
+        ).reshape(c * ni, self.sim_dim)
+
+        sim_emb = jnp.concatenate([sim_glo[:, None, :], sim_loc], axis=1)
+        node_mask = jnp.concatenate(
+            [jnp.ones((c * ni, 1), mask_x.dtype), mask_x], axis=1
+        )
+        if self.module_name == "SGR":
+            for i in range(self.sgr_step):
+                sim_emb = GraphReasoning(self.sim_dim, name=f"SGR_{i}")(
+                    sim_emb, node_mask
+                )
+            sim_vec = sim_emb[:, 0, :]
+        elif self.module_name == "SAF":
+            sim_vec = AttentionFiltration(self.sim_dim, train=self.train, name="SAF")(
+                sim_emb, node_mask
+            )
+        else:
+            raise ValueError("Invalid module_name (SGR|SAF)")
+        sim_i = jax.nn.sigmoid(XavierLinear(1, name="sim_eval_w")(sim_vec))[:, 0]
+        return sim_i.reshape(c, ni).T  # (Ni, C)
+
+
+class EncoderSimilarity(nn.Module):
+    """SGRAF image-text similarity (ref :373-451), batched over captions.
+
+    `__call__(img_emb (Ni,R,D), cap_emb (Nc,L,D), cap_mask (Nc,L))` returns
+    (Ni, Nc) scores.
+    """
+
+    embed_size: int
+    sim_dim: int
+    module_name: str = "SGR"
+    sgr_step: int = 3
+    cap_chunk: int = 32
+
+    @nn.compact
+    def __call__(self, img_emb, cap_emb, cap_mask, train: bool = False):
+        ni = img_emb.shape[0]
+        nc = cap_emb.shape[0]
+
+        img_ave = jnp.mean(img_emb, axis=1)
+        img_glo = VisualSA(self.embed_size, name="v_global_w")(
+            img_emb, img_ave, train=train
+        )
+
+        denom = jnp.maximum(jnp.sum(cap_mask, axis=1, keepdims=True), 1.0)
+        cap_ave = jnp.sum(cap_emb * cap_mask[..., None], axis=1) / denom
+        cap_glo = TextSA(self.embed_size, name="t_global_w")(
+            cap_emb, cap_ave, cap_mask, train=train
+        )
+
+        scorer_cls = nn.remat(_ChunkScorer) if train else _ChunkScorer
+        scorer = scorer_cls(
+            embed_size=self.embed_size,
+            sim_dim=self.sim_dim,
+            module_name=self.module_name,
+            sgr_step=self.sgr_step,
+            train=train,
+            name="scorer",
+        )
+
+        chunk = min(self.cap_chunk, nc)
+        blocks = []
+        for start in range(0, nc, chunk):
+            end = min(start + chunk, nc)
+            blocks.append(
+                scorer(
+                    img_emb,
+                    img_glo,
+                    cap_emb[start:end],
+                    cap_mask[start:end],
+                    cap_glo[start:end],
+                )
+            )
+        return jnp.concatenate(blocks, axis=1)

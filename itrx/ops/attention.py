@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .norms import safe_sqrt
+
 EPS = 1e-8
 NEG_INF = -1e18
 
@@ -46,12 +48,12 @@ def _normalize_raw_attn(attn, norm: str, axis: int, mask=None):
         if mask is not None:
             attn = attn * mask
     elif norm == "l2norm":
-        attn = attn / (jnp.sqrt(jnp.sum(attn * attn, axis=axis, keepdims=True)) + EPS)
+        attn = attn / (safe_sqrt(jnp.sum(attn * attn, axis=axis, keepdims=True)) + EPS)
     elif norm == "clipped_l2norm":
         attn = jax.nn.leaky_relu(attn, negative_slope=0.1)
         if mask is not None:
             attn = attn * mask
-        attn = attn / (jnp.sqrt(jnp.sum(attn * attn, axis=axis, keepdims=True)) + EPS)
+        attn = attn / (safe_sqrt(jnp.sum(attn * attn, axis=axis, keepdims=True)) + EPS)
     elif norm == "l1norm":
         attn = attn / (jnp.sum(jnp.abs(attn), axis=axis, keepdims=True) + EPS)
     elif norm == "clipped_l1norm":
@@ -119,8 +121,8 @@ def xattn_score_t2i(
     gram = jnp.einsum("ird,isd->irs", im, im)  # (Ni,R,R)
     gattn = jnp.einsum("irs,icsl->icrl", gram, attn)
     ctx_sq = jnp.sum(attn * gattn, axis=2)  # (Ni,Nc,L)
-    cap_norm = jnp.sqrt(jnp.sum(cap * cap, axis=-1))  # (Nc,L)
-    denom = jnp.maximum(jnp.sqrt(jnp.maximum(ctx_sq, 0.0)) * cap_norm[None], EPS)
+    cap_norm = safe_sqrt(jnp.sum(cap * cap, axis=-1))  # (Nc,L)
+    denom = jnp.maximum(safe_sqrt(ctx_sq) * cap_norm[None], EPS)
     row_sim = num / denom  # (Ni,Nc,L)
 
     return _aggregate(row_sim, agg_func, lambda_lse, qmask[None], axis=2)
@@ -163,10 +165,8 @@ def xattn_score_i2t(
     gram = jnp.einsum("cld,cmd->clm", capz, capz)  # (Nc,L,L)
     gattn = jnp.einsum("clm,icrm->icrl", gram, attn_w)
     ctx_sq = jnp.sum(attn_w * gattn, axis=3)  # (Ni,Nc,R)
-    im_norm = jnp.sqrt(jnp.sum(im * im, axis=-1))  # (Ni,R)
-    denom = jnp.maximum(
-        jnp.sqrt(jnp.maximum(ctx_sq, 0.0)) * im_norm[:, None, :], EPS
-    )
+    im_norm = safe_sqrt(jnp.sum(im * im, axis=-1))  # (Ni,R)
+    denom = jnp.maximum(safe_sqrt(ctx_sq) * im_norm[:, None, :], EPS)
     row_sim = num / denom  # (Ni,Nc,R)
 
     ones = jnp.ones_like(row_sim)
@@ -187,9 +187,9 @@ def scan_attention_context(query, context, q_mask, smooth: float = 9.0):
     if q_mask is not None:
         attn = attn * q_mask[:, None, :]
     # l2norm over dim 2 (query words)
-    attn = attn / (jnp.sqrt(jnp.sum(attn * attn, axis=2, keepdims=True)) + EPS)
+    attn = attn / (safe_sqrt(jnp.sum(attn * attn, axis=2, keepdims=True)) + EPS)
     attn = jnp.swapaxes(attn, 1, 2)  # (B, Lq, Ls)
     attn = jax.nn.softmax(attn * smooth, axis=2)
     ctx = jnp.einsum("bqs,bsd->bqd", attn, context)
-    ctx = ctx / (jnp.sqrt(jnp.sum(ctx * ctx, axis=-1, keepdims=True)) + EPS)
+    ctx = ctx / (safe_sqrt(jnp.sum(ctx * ctx, axis=-1, keepdims=True)) + EPS)
     return ctx

@@ -1,0 +1,231 @@
+"""Training orchestration (ref itr/utils.py:78-186 + train.py:20-72).
+
+One jitted train step (donated state), epoch loop with step-decay LR (inside
+the optimizer schedule), periodic validation + checkpointing.  Reference bugs
+fixed by design (SURVEY.md §2.11): the validate return order is consistent
+(#1), checkpoints always store 'best_r1' (#2), and the method's epoch is
+forwarded to the loss (#6, SAEM's alpha schedule).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from queue import Queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval import engine, metrics
+from ..utils.checkpoint import save_train_checkpoint
+from ..utils.logging import AverageMeter, LogCollector, MetricWriter, second2DHM
+from .state import TrainState, create_train_state, make_optimizer
+
+logger = logging.getLogger("itrx")
+
+
+def make_train_step(model, tx):
+    @jax.jit
+    def step(state: TrainState, batch, rng, epoch):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+                epoch=epoch,
+            )
+            loss, aux = out
+            return loss, (aux, mutated)
+
+        (loss, (aux, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_bs = mutated.get("batch_stats", state.batch_stats)
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            batch_stats=new_bs,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    return step
+
+
+def prefetch(iterator, size: int = 2):
+    """Host->device prefetch: overlap batch assembly with TPU compute."""
+    q: Queue = Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        for item in iterator:
+            q.put(jax.tree.map(jnp.asarray, item))
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def validate_step(config, model, state: TrainState, val_dataset, writer=None):
+    """Mirror of ref validate_step (utils.py:144-186). Returns (rsum, r1_i2t)."""
+    start = time.time()
+    variables = state.variables()
+    res = engine.evaluate_split(model, variables, val_dataset, config)
+    print("Calculate similarity time:", time.time() - start)
+    logger.info(
+        "Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f",
+        res["i2t_r1"], res["i2t_r5"], res["i2t_r10"], res["i2t_medr"], res["i2t_meanr"],
+    )
+    logger.info(
+        "Text to image: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f",
+        res["t2i_r1"], res["t2i_r5"], res["t2i_r10"], res["t2i_medr"], res["t2i_meanr"],
+    )
+    if writer is not None:
+        step = int(state.step)
+        writer.log_dict(
+            {
+                "r1_i2t": res["i2t_r1"], "r5_i2t": res["i2t_r5"],
+                "r10_i2t": res["i2t_r10"], "medr_i2t": res["i2t_medr"],
+                "meanr_i2t": res["i2t_meanr"], "r1_t2i": res["t2i_r1"],
+                "r5_t2i": res["t2i_r5"], "r10_t2i": res["t2i_r10"],
+                "medr_t2i": res["t2i_medr"], "meanr_t2i": res["t2i_meanr"],
+                "r_sum": res["rsum"],
+            },
+            step,
+        )
+    return res["rsum"], res["i2t_r1"]
+
+
+def train_epoch(
+    config, model, tx, state, train_dataset, val_dataset, epoch,
+    writer, best_rsum=0.0, best_r1=0.0, step_fn=None,
+):
+    """One epoch (ref utils.py:78-141)."""
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    train_logger = LogCollector()
+    step_fn = step_fn or make_train_step(model, tx)
+    rng = jax.random.PRNGKey(config["seed"] * 100003 + epoch)
+
+    end = time.time()
+    it = prefetch(train_dataset.train_batches(config["batch_size"], config["seed"], epoch))
+    n_batches = len(train_dataset) // config["batch_size"]
+    for i, batch in enumerate(it):
+        data_time.update(time.time() - end, n=1)
+        rng, step_rng = jax.random.split(rng)
+        state, aux = step_fn(state, batch, step_rng, epoch)
+        eiters = int(state.step)
+
+        if eiters % config["log_step"] == 0:
+            jax.block_until_ready(aux)
+            for k, v in aux.items():
+                train_logger.update(k, float(v), config["batch_size"])
+            batch_time.update(time.time() - end, n=1)
+            logger.info(
+                "Epoch: [%d][%d/%d]\t%s\tTime %.3f (%s)\tData %.3f (%s)",
+                epoch, i, n_batches, str(train_logger),
+                batch_time.avg, second2DHM(batch_time.sum)[0],
+                data_time.avg, second2DHM(data_time.sum)[0],
+            )
+            writer.log_dict(
+                {"epoch": epoch, "step": i, "batch_time": batch_time.val,
+                 "data_time": data_time.val,
+                 **{k: float(v) for k, v in aux.items()}},
+                eiters,
+            )
+        end = time.time()
+
+        if config["val_step"] > 0 and eiters % config["val_step"] == 0:
+            rsum, r1 = validate_step(config, model, state, val_dataset, writer)
+            is_best = rsum > best_rsum
+            best_rsum = max(rsum, best_rsum)
+            best_r1 = max(r1, best_r1)
+            save_train_checkpoint(
+                state, config, epoch, best_rsum, best_r1, is_best,
+                prefix=config["save_dir"],
+            )
+    return state, best_rsum, best_r1
+
+
+def fit(config, train_dataset=None, val_dataset=None):
+    """Full training (ref train.py:20-72).  Returns (state, best_rsum)."""
+    from ..data import precomp
+    from ..models import get_model
+    from ..utils.checkpoint import load_checkpoint
+
+    np.random.seed(config["seed"])
+
+    if train_dataset is None:
+        train_dataset, val_dataset, vocab_size = precomp.get_loaders(config)
+        config["vocab_size"] = vocab_size
+    else:
+        config.setdefault("vocab_size", train_dataset.vocab_size)
+
+    writer = MetricWriter(config["save_dir"])
+    model = get_model(config)
+    steps_per_epoch = max(len(train_dataset) // config["batch_size"], 1)
+
+    sample = next(iter(train_dataset.train_batches(config["batch_size"])))
+    sample = jax.tree.map(jnp.asarray, sample)
+
+    start_epoch, best_rsum, best_r1 = 0, 0.0, 0.0
+    if config.get("resume"):
+        ckpt = load_checkpoint(config["resume"])
+        # re-impose architecture hyperparams from the checkpoint
+        # (ref utils.py:35-54 with reload=True)
+        from ..configs import load_hyperparams
+
+        for k in load_hyperparams:
+            if k in ckpt["config"]:
+                config[k] = ckpt["config"][k]
+        model = get_model(config)
+        state, tx = create_train_state(model, config, sample, steps_per_epoch)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, ckpt["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, ckpt.get("batch_stats", {})),
+            step=jnp.asarray(ckpt["Eiters"], jnp.int32),
+        )
+        start_epoch = ckpt["epoch"]
+        best_rsum, best_r1 = ckpt["best_rsum"], ckpt["best_r1"]
+        print(
+            "=> loaded checkpoint '{}' (epoch {}, best_rsum {}, best_r1 {})".format(
+                config["resume"], start_epoch, best_rsum, best_r1
+            )
+        )
+        validate_step(config, model, state, val_dataset, writer)
+    else:
+        state, tx = create_train_state(model, config, sample, steps_per_epoch)
+
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    print("Optimizable parameter number of the whole model is ", n_params)
+
+    step_fn = make_train_step(model, tx)
+    for epoch in range(start_epoch, config["num_epochs"]):
+        state, best_rsum, best_r1 = train_epoch(
+            config, model, tx, state, train_dataset, val_dataset, epoch,
+            writer, best_rsum, best_r1, step_fn,
+        )
+        rsum, r1 = validate_step(config, model, state, val_dataset, writer)
+        is_best = rsum > best_rsum
+        best_rsum = max(rsum, best_rsum)
+        best_r1 = max(r1, best_r1)
+        save_train_checkpoint(
+            state, config, epoch, best_rsum, best_r1, is_best,
+            prefix=config["save_dir"], is_epo_end=True,
+        )
+    writer.close()
+    return state, best_rsum
