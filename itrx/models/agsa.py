@@ -1,0 +1,140 @@
+"""CAMERA building blocks: AGSA gated self-attention, multi-view
+summarization, box position encoding.
+
+Reference: itr/modalmodule/camera_.py (AGSA :14-89, Summarization :93-114,
+PositionEncoder :118-148).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import TorchBatchNorm, TorchLinear
+
+
+class GatedQueryAttLayer(nn.Module):
+    """Multi-head self-attention with element-gated Q/K (ref :14-54)."""
+
+    embed_size: int
+    h: int
+    is_share: bool = False
+    drop: float = 0.0
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, inp, mask=None):
+        b, n, _ = inp.shape
+        d_k = self.embed_size // self.h
+        if self.is_share:
+            lin = TorchLinear(self.embed_size, name="linear")
+            q, k, v = lin(inp), lin(inp), lin(inp)
+        else:
+            q = TorchLinear(self.embed_size, name="linear_q")(inp)
+            k = TorchLinear(self.embed_size, name="linear_k")(inp)
+            v = TorchLinear(self.embed_size, name="linear_v")(inp)
+        # (B, h, N, d_k)
+        q = q.reshape(b, n, self.h, d_k).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, self.h, d_k).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, self.h, d_k).transpose(0, 2, 1, 3)
+
+        g = TorchLinear(d_k, name="fc_q")(q) * TorchLinear(d_k, name="fc_k")(k)
+        m = jax.nn.sigmoid(TorchLinear(2 * d_k, name="fc_g")(g))
+        q = q * m[..., :d_k]
+        k = k * m[..., d_k:]
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
+        if mask is not None:
+            scores = jnp.where(mask == 0, -1e9, scores)
+        p_attn = jax.nn.softmax(scores, axis=-1)
+        if self.drop > 0:
+            p_attn = nn.Dropout(self.drop, deterministic=not self.train)(p_attn)
+        x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+        return x.transpose(0, 2, 1, 3).reshape(b, n, self.h * d_k)
+
+
+class AGSA(nn.Module):
+    """Adaptive Gating Self-Attention stack with BN residuals (ref :57-89)."""
+
+    num_layers: int
+    embed_size: int
+    h: int = 1
+    is_share: bool = False
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, rgn_emb, pos_emb=None, mask=None, train: bool = False):
+        b, n, d = rgn_emb.shape
+        x = rgn_emb if pos_emb is None else rgn_emb * pos_emb
+
+        def block(i, x_in):
+            y = GatedQueryAttLayer(
+                self.embed_size, self.h, self.is_share, drop=self.drop,
+                train=train, name=f"att_{i}",
+            )(x_in, mask)
+            # ref applies BatchNorm1d over the flattened (bs*num_r, dim)
+            y = TorchBatchNorm(use_running_average=not train, name=f"bn_{i}")(
+                y.reshape(b * n, d)
+            ).reshape(b, n, d)
+            return nn.Dropout(self.drop, deterministic=not train)(y)
+
+        agsa_emb = rgn_emb + block(0, x)
+        for i in range(1, self.num_layers):
+            agsa_emb = agsa_emb + block(i, agsa_emb)
+        return agsa_emb
+
+
+class Summarization(nn.Module):
+    """Multi-view summarization: 7 dilated conv banks -> (B, R, smry_k) (ref :93-114)."""
+
+    embed_size: int
+    smry_k: int
+
+    @nn.compact
+    def __call__(self, rgn_emb):
+        out_c = [256, 128, 128, 128, 128, 128, 128]
+        k_size = [1, 3, 3, 3, 5, 5, 5]
+        dila = [1, 1, 2, 3, 1, 2, 3]
+        feats = []
+        for i in range(len(out_c)):
+            # reference padding values keep the region length unchanged == SAME
+            y = nn.Conv(
+                out_c[i],
+                kernel_size=(k_size[i],),
+                kernel_dilation=(dila[i],),
+                padding="SAME",
+                name=f"conv_{i}",
+            )(rgn_emb)
+            feats.append(nn.relu(y))
+        x = jnp.concatenate(feats, axis=-1)  # (B, R, 1024)
+        return TorchLinear(self.smry_k, name="convs_fc")(x)
+
+
+def absolute_encode(boxes, imgs_wh):
+    """Normalized box geometry features (ref camera_.py:118-128).
+
+    boxes: (B, R, 4) xyxy; imgs_wh: (B, 2).  Returns (B, R, 6):
+    [x, y, w, h normalized by image size, w/h, area ratio].
+    """
+    x, y = boxes[:, :, 0], boxes[:, :, 1]
+    w = boxes[:, :, 2] - boxes[:, :, 0]
+    h = boxes[:, :, 3] - boxes[:, :, 1]
+    expand_wh = jnp.concatenate([imgs_wh, imgs_wh], axis=1)[:, None, :]  # (B,1,4)
+    ratio_wh = (w / h)[..., None]
+    ratio_area = (w * h / (imgs_wh[:, 0] * imgs_wh[:, 1])[:, None])[..., None]
+    xywh = jnp.stack([x, y, w, h], axis=2) / expand_wh
+    return jnp.concatenate([xywh, ratio_wh, ratio_area], axis=-1)
+
+
+class PositionEncoder(nn.Module):
+    """Box geometry -> sigmoid gate embedding (ref camera_.py:131-148)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, boxes, imgs_wh):
+        posi = absolute_encode(boxes, imgs_wh)
+        return jax.nn.sigmoid(TorchLinear(self.embed_dim, name="proj")(posi))

@@ -1,0 +1,91 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is `nn.DataParallel` on two encoders
+(SURVEY.md §2.10).  Here parallelism is first-class and XLA-native:
+
+ - training: batch sharded over a 1-D 'dp' mesh axis, parameters replicated;
+   the contrastive loss needs the full (N, N) score grid, so XLA inserts the
+   all-gather over ICI automatically from the sharding annotations — no
+   hand-written collectives,
+ - evaluation: captions sharded over 'dp', images replicated; each chip
+   computes its column block of the similarity matrix (the N×5N eval matrix
+   is this workload's sequence-parallel analog, SURVEY.md §2.10).
+
+Multi-chip behavior is validated on a virtual CPU mesh
+(`xla_force_host_platform_device_count`) by tests and by
+`__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(config=None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    shape = (config or {}).get("mesh_shape") if config else None
+    if shape:
+        n = int(np.prod(list(shape.values())))
+        devices = devices[:n]
+    return Mesh(np.asarray(devices), axis_names=("dp",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch on the mesh, sharded along the batch axis."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def sharded_similarity(model, variables, img_embs, cap_embs, cap_mask, mesh):
+    """Caption-sharded similarity over the mesh: images replicated, captions
+    split along 'dp'; returns the full (Ni, Nc) matrix (column-sharded on
+    device, gathered lazily by consumers)."""
+    ndp = mesh.shape["dp"]
+    nc = cap_embs.shape[0]
+    nc_pad = pad_to_multiple(nc, ndp)
+
+    def pad(x):
+        if x is None:
+            return None
+        w = [(0, nc_pad - nc)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, w)
+
+    cap_p = jax.device_put(pad(cap_embs), NamedSharding(mesh, P("dp")))
+    mask_p = None
+    if cap_mask is not None:
+        mask_p = pad(cap_mask)
+        # give padded captions one valid token so masked kernels stay finite
+        if nc_pad > nc:
+            mask_p = mask_p.at[nc:, 0].set(1.0)
+        mask_p = jax.device_put(mask_p, NamedSharding(mesh, P("dp")))
+    img_r = jax.device_put(img_embs, replicated(mesh))
+    variables = replicate_tree(variables, mesh)
+
+    @jax.jit
+    def f(v, img, cap, mask):
+        return model.apply(v, img, cap, mask, train=False, method="similarity")
+
+    sims = f(variables, img_r, cap_p, mask_p)
+    return sims[:, :nc]

@@ -209,6 +209,11 @@ def fit(config, train_dataset=None, val_dataset=None):
         validate_step(config, model, state, val_dataset, writer)
     else:
         state, tx = create_train_state(model, config, sample, steps_per_epoch)
+        if config["text_encoder"] == "bert":
+            from ..models.bert_methods import load_pretrained_weights
+
+            v = load_pretrained_weights(config, {"params": state.params})
+            state = state.replace(params=v["params"])
 
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print("Optimizable parameter number of the whole model is ", n_params)
