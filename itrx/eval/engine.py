@@ -71,15 +71,40 @@ def cal_sims(
     img_tile: int = 256,
     cap_tile: int = 1024,
     verbose: bool = True,
+    mesh=None,
 ):
     """Full (N_img, N_cap) similarity matrix in device-resident tiles.
 
     Tiles are padded to static shapes so only one similarity kernel is
-    compiled; the padded rows/cols are trimmed from the result.
+    compiled; the padded rows/cols are trimmed from the result.  With a
+    `mesh`, each caption tile is sharded over the 'dp' axis (images and
+    params replicated), so tiles span all chips and the matrix columns are
+    computed in parallel over ICI.
     """
     ni, nc = img_embs.shape[0], cap_embs.shape[0]
     img_tile = min(img_tile, ni)
     cap_tile = min(cap_tile, nc)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndp = mesh.shape["dp"]
+        cap_tile = ((cap_tile + ndp - 1) // ndp) * ndp
+        cap_sh = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        variables = jax.tree.map(lambda x: jax.device_put(x, rep), variables)
+
+        def place(img_t, cap_t, mask_t):
+            return (
+                jax.device_put(img_t, rep),
+                jax.device_put(cap_t, cap_sh),
+                None if mask_t is None else jax.device_put(mask_t, cap_sh),
+            )
+
+    else:
+
+        def place(img_t, cap_t, mask_t):
+            return img_t, cap_t, mask_t
 
     @jax.jit
     def sim_fn(img, cap, mask):
@@ -104,7 +129,7 @@ def cal_sims(
                 mask_t = mask_t.at[j1 - j0 :, 0].set(1.0) if j1 - j0 < cap_tile else mask_t
             else:
                 mask_t = None
-            s = sim_fn(img_t, cap_t, mask_t)
+            s = sim_fn(*place(img_t, cap_t, mask_t))
             cols.append(s[: i1 - i0, : j1 - j0])
         rows.append(jnp.concatenate(cols, axis=1))
     sims = jnp.concatenate(rows, axis=0)
@@ -116,7 +141,7 @@ def cal_sims(
     return sims
 
 
-def evaluate_split(model, variables, dataset, config, fold5: bool = False):
+def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=None):
     """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
     enc = encode_data(model, variables, dataset, config["batch_size"])
     img_embs = enc["img"]
@@ -134,6 +159,7 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False):
             cap_mask,
             img_tile=config.get("eval_img_tile", 256),
             cap_tile=config.get("eval_cap_tile", 1024),
+            mesh=mesh,
         )
         res = metrics.cal_recall(sims, cap_ratio=im_div)
         res["data_name"] = config["data_name"]
@@ -154,6 +180,7 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False):
             mask_block,
             img_tile=config.get("eval_img_tile", 256),
             cap_tile=config.get("eval_cap_tile", 1024),
+            mesh=mesh,
         )
         print(f"--------------------- The {i + 1} part ---------------------")
         r = metrics.cal_recall(sims)

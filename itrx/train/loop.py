@@ -80,11 +80,11 @@ def prefetch(iterator, size: int = 2):
         yield item
 
 
-def validate_step(config, model, state: TrainState, val_dataset, writer=None):
+def validate_step(config, model, state: TrainState, val_dataset, writer=None, mesh=None):
     """Mirror of ref validate_step (utils.py:144-186). Returns (rsum, r1_i2t)."""
     start = time.time()
     variables = state.variables()
-    res = engine.evaluate_split(model, variables, val_dataset, config)
+    res = engine.evaluate_split(model, variables, val_dataset, config, mesh=mesh)
     print("Calculate similarity time:", time.time() - start)
     logger.info(
         "Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f",
@@ -112,7 +112,7 @@ def validate_step(config, model, state: TrainState, val_dataset, writer=None):
 
 def train_epoch(
     config, model, tx, state, train_dataset, val_dataset, epoch,
-    writer, best_rsum=0.0, best_r1=0.0, step_fn=None,
+    writer, best_rsum=0.0, best_r1=0.0, step_fn=None, mesh=None,
 ):
     """One epoch (ref utils.py:78-141)."""
     batch_time = AverageMeter()
@@ -121,8 +121,16 @@ def train_epoch(
     step_fn = step_fn or make_train_step(model, tx)
     rng = jax.random.PRNGKey(config["seed"] * 100003 + epoch)
 
+    place = (lambda b: b)
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+
+        place = lambda b: shard_batch(b, mesh)  # noqa: E731
+
     end = time.time()
-    it = prefetch(train_dataset.train_batches(config["batch_size"], config["seed"], epoch))
+    it = prefetch(
+        map(place, train_dataset.train_batches(config["batch_size"], config["seed"], epoch))
+    )
     n_batches = len(train_dataset) // config["batch_size"]
     for i, batch in enumerate(it):
         data_time.update(time.time() - end, n=1)
@@ -150,7 +158,7 @@ def train_epoch(
         end = time.time()
 
         if config["val_step"] > 0 and eiters % config["val_step"] == 0:
-            rsum, r1 = validate_step(config, model, state, val_dataset, writer)
+            rsum, r1 = validate_step(config, model, state, val_dataset, writer, mesh=mesh)
             is_best = rsum > best_rsum
             best_rsum = max(rsum, best_rsum)
             best_r1 = max(r1, best_r1)
@@ -218,13 +226,23 @@ def fit(config, train_dataset=None, val_dataset=None):
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print("Optimizable parameter number of the whole model is ", n_params)
 
+    # data parallelism over all visible chips (SURVEY.md §2.10): params
+    # replicated, batch sharded on 'dp'; XLA inserts the ICI collectives.
+    mesh = None
+    if config.get("mesh_shape") or jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh, replicate_tree
+
+        mesh = make_mesh(config)
+        state = replicate_tree(state, mesh)
+        print(f"=> data-parallel mesh over {mesh.size} devices")
+
     step_fn = make_train_step(model, tx)
     for epoch in range(start_epoch, config["num_epochs"]):
         state, best_rsum, best_r1 = train_epoch(
             config, model, tx, state, train_dataset, val_dataset, epoch,
-            writer, best_rsum, best_r1, step_fn,
+            writer, best_rsum, best_r1, step_fn, mesh=mesh,
         )
-        rsum, r1 = validate_step(config, model, state, val_dataset, writer)
+        rsum, r1 = validate_step(config, model, state, val_dataset, writer, mesh=mesh)
         is_best = rsum > best_rsum
         best_rsum = max(rsum, best_rsum)
         best_r1 = max(r1, best_r1)
