@@ -35,6 +35,7 @@ def get_model(config: dict):
             agg_func=config["agg_func"],
             lambda_lse=config["lambda_lse"],
             lambda_softmax=config["lambda_softmax"],
+            use_fused_eval=config.get("use_fused_eval", False),
         )
     if name == "VSRN":
         return methods.VSRN(

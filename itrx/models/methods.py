@@ -92,6 +92,9 @@ class SCAN(nn.Module):
     agg_func: str = "LogSumExp"
     lambda_lse: float = 6.0
     lambda_softmax: float = 9.0
+    # Pallas fused eval kernel (t2i/clipped_l2norm/LogSumExp only); off by
+    # default — opt in on TPU via config use_fused_eval=True
+    use_fused_eval: bool = False
 
     def setup(self):
         self.img_enc = EncoderImagePrecomp(
@@ -113,6 +116,20 @@ class SCAN(nn.Module):
         return {"img": img, "cap": cap, "cap_mask": batch["cap_mask"]}
 
     def similarity(self, img, cap, cap_mask, train: bool = False):
+        if (
+            self.use_fused_eval
+            and not train
+            and self.cross_attn == "t2i"
+            and self.raw_feature_norm == "clipped_l2norm"
+            and self.agg_func == "LogSumExp"
+        ):
+            from ..ops.pallas.xattn import xattn_t2i_fused
+
+            return xattn_t2i_fused(
+                img, cap, cap_mask,
+                lambda_lse=self.lambda_lse,
+                lambda_softmax=self.lambda_softmax,
+            )
         fn = (
             attention.xattn_score_t2i
             if self.cross_attn == "t2i"

@@ -104,12 +104,14 @@ def xattn_score_t2i(
     Returns (Ni, Nc).  Ref Objectives.py:329-372 with the per-caption Python
     loop replaced by whole-grid einsums.
     """
-    im = images.astype(jnp.float32)
-    cap = captions.astype(jnp.float32)
+    im = images
+    cap = captions
     qmask = cap_mask.astype(jnp.float32)  # (Nc, L)
 
-    # raw dots A[i,c,r,l] = img_ir . cap_cl
-    a = jnp.einsum("ird,cld->icrl", im, cap)
+    # raw dots A[i,c,r,l] = img_ir . cap_cl (bf16 inputs ride the MXU at
+    # double rate; accumulation stays fp32)
+    a = jnp.einsum("ird,cld->icrl", im, cap,
+                   preferred_element_type=jnp.float32)
     # func_attention: raw_feature_norm over the word axis (l), masked
     attn = _normalize_raw_attn(a, raw_feature_norm, axis=3, mask=qmask[None, :, None, :])
     # temperature softmax over regions r (all 36 valid)
@@ -118,10 +120,12 @@ def xattn_score_t2i(
     # numerator: cap_cl . weiContext_icl = sum_r attn * a
     num = jnp.sum(attn * a, axis=2)  # (Ni,Nc,L)
     # |weiContext|^2 via per-image region Grams
-    gram = jnp.einsum("ird,isd->irs", im, im)  # (Ni,R,R)
-    gattn = jnp.einsum("irs,icsl->icrl", gram, attn)
+    gram = jnp.einsum("ird,isd->irs", im, im,
+                      preferred_element_type=jnp.float32)  # (Ni,R,R)
+    gattn = jnp.einsum("irs,icsl->icrl", gram, attn,
+                       preferred_element_type=jnp.float32)
     ctx_sq = jnp.sum(attn * gattn, axis=2)  # (Ni,Nc,L)
-    cap_norm = safe_sqrt(jnp.sum(cap * cap, axis=-1))  # (Nc,L)
+    cap_norm = safe_sqrt(jnp.sum((cap * cap).astype(jnp.float32), axis=-1))  # (Nc,L)
     denom = jnp.maximum(safe_sqrt(ctx_sq) * cap_norm[None], EPS)
     row_sim = num / denom  # (Ni,Nc,L)
 
@@ -144,12 +148,13 @@ def xattn_score_i2t(
     the softmax over words is masked, the l2norm over regions needs no mask,
     aggregation is over the 36 regions.
     """
-    im = images.astype(jnp.float32)
-    cap = captions.astype(jnp.float32)
+    im = images
+    cap = captions
     wmask = cap_mask.astype(jnp.float32)  # (Nc, L)
 
     # raw dots A[i,c,l,r] = cap_cl . img_ir   (context=cap rows, query=img cols)
-    a = jnp.einsum("cld,ird->iclr", cap, im)
+    a = jnp.einsum("cld,ird->iclr", cap, im,
+                   preferred_element_type=jnp.float32)
     # raw_feature_norm over the region axis r (padded words produce garbage
     # rows but are masked out of the later softmax over words)
     attn = _normalize_raw_attn(a, raw_feature_norm, axis=3, mask=None)
@@ -161,11 +166,13 @@ def xattn_score_i2t(
     # numerator: img_ir . weiContext_icr = sum_l attn_w * a^T
     num = jnp.sum(attn_w * jnp.swapaxes(a, 2, 3), axis=3)  # (Ni,Nc,R)
     # |weiContext|^2 via per-caption word Grams (padded words zeroed)
-    capz = cap * wmask[:, :, None]
-    gram = jnp.einsum("cld,cmd->clm", capz, capz)  # (Nc,L,L)
-    gattn = jnp.einsum("clm,icrm->icrl", gram, attn_w)
+    capz = cap * wmask[:, :, None].astype(cap.dtype)
+    gram = jnp.einsum("cld,cmd->clm", capz, capz,
+                      preferred_element_type=jnp.float32)  # (Nc,L,L)
+    gattn = jnp.einsum("clm,icrm->icrl", gram, attn_w,
+                       preferred_element_type=jnp.float32)
     ctx_sq = jnp.sum(attn_w * gattn, axis=3)  # (Ni,Nc,R)
-    im_norm = safe_sqrt(jnp.sum(im * im, axis=-1))  # (Ni,R)
+    im_norm = safe_sqrt(jnp.sum((im * im).astype(jnp.float32), axis=-1))  # (Ni,R)
     denom = jnp.maximum(safe_sqrt(ctx_sq) * im_norm[:, None, :], EPS)
     row_sim = num / denom  # (Ni,Nc,R)
 
