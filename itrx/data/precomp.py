@@ -36,6 +36,11 @@ from . import vocab as vocab_mod
 from .treebank import word_tokenize
 
 
+# raw-pixel datasets (VSE++ only, ref config.py:26: "coco|f8k|f30k only used
+# in the VSE++"); everything else is precomp-format
+RAW_DATASET_NAMES = {"coco", "f8k", "f30k"}
+
+
 def _round_up(x, m=8):
     return ((x + m - 1) // m) * m
 
@@ -228,7 +233,14 @@ class PrecompDataset:
 
 def get_loaders(config):
     """(train_dataset, val_dataset, vocab_size) — ref data_loader.py:199-228."""
-    dpath = os.path.join(config["data_path"], config["data_name"])
+    name = config["data_name"]
+    dpath = os.path.join(config["data_path"], name)
+    if name in RAW_DATASET_NAMES:
+        from .raw_images import RawImageDataset
+
+        train = RawImageDataset(dpath, name, "train", config)
+        val = RawImageDataset(dpath, name, "dev", config)
+        return train, val, train.vocab_size
     train = PrecompDataset(dpath, "train", config)
     val = PrecompDataset(dpath, "dev", config)
     return train, val, train.vocab_size
@@ -236,6 +248,12 @@ def get_loaders(config):
 
 def get_test_loader(split_name, config):
     """(test_dataset, vocab_size) — ref data_loader.py:231-235."""
-    dpath = os.path.join(config["data_path"], config["data_name"])
+    name = config["data_name"]
+    dpath = os.path.join(config["data_path"], name)
+    if name in RAW_DATASET_NAMES:
+        from .raw_images import RawImageDataset
+
+        ds = RawImageDataset(dpath, name, split_name, config)
+        return ds, ds.vocab_size
     ds = PrecompDataset(dpath, split_name, config)
     return ds, ds.vocab_size

@@ -89,3 +89,36 @@ def build_vocab(captions, threshold: int = 4) -> Vocabulary:
     for w in words:
         vocab.add_word(w)
     return vocab
+
+
+def main():
+    """CLI: build a vocab from a precomp dataset's caption files.
+
+    python -m itrx.data.vocab --data_path data --data_name f30k_precomp
+    (ref itr/datamodule/vocab.py:109-122)
+    """
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_path", default="data")
+    ap.add_argument("--data_name", default="f30k_precomp")
+    ap.add_argument("--out", default="./itrx/vocab")
+    ap.add_argument("--threshold", type=int, default=4)
+    args = ap.parse_args()
+
+    captions = []
+    for split in ("train", "dev"):
+        path = os.path.join(args.data_path, args.data_name, f"{split}_caps.txt")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                captions += [line.strip() for line in f]
+    vocab = build_vocab(captions, threshold=args.threshold)
+    os.makedirs(args.out, exist_ok=True)
+    dest = os.path.join(args.out, f"{args.data_name}_vocab.json")
+    serialize_vocab(vocab, dest)
+    print(f"Saved vocabulary ({len(vocab)} words) to {dest}")
+
+
+if __name__ == "__main__":
+    main()

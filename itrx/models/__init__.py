@@ -18,6 +18,10 @@ def get_model(config: dict):
             no_imgnorm=config["no_imgnorm"],
             margin=config["margin"],
             max_violation=config["max_violation"],
+            full_encoder=config.get("data_name", "f30k_precomp")
+            in ("coco", "f8k", "f30k"),
+            cnn_type=config.get("img_encoder", "vgg19"),
+            finetune=config.get("finetune", False),
         )
     if name == "SCAN":
         return methods.SCAN(

@@ -59,6 +59,53 @@ def _trans_cfg_from_config(config: dict) -> BertConfig:
     return _default_trans_cfg(config["final_dims"])
 
 
+class FcMapping(nn.Module):
+    """SAEM alternate image branch (ref ImgEncoder.py:247-265): Linear + mean."""
+
+    final_dims: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchLinear(self.final_dims, name="fc1")(x)
+        return f_normalize(jnp.mean(x, axis=1), axis=1)
+
+
+class CnnMapping(nn.Module):
+    """SAEM alternate image branch (ref ImgEncoder.py:268-291): conv banks."""
+
+    final_dims: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = []
+        for ki, k in enumerate((1, 2, 3)):
+            y = nn.Conv(256, kernel_size=(k,), padding="VALID", name=f"conv_{ki}")(x)
+            feats.append(jnp.max(nn.relu(y), axis=1))
+        out = jnp.concatenate(feats, axis=1)
+        return f_normalize(TorchLinear(self.final_dims, name="fc1")(out), axis=1)
+
+
+class RnnMapping(nn.Module):
+    """SAEM alternate image branch (ref ImgEncoder.py:294-321) with the
+    reference's Py3 float-slice bug (#7) fixed."""
+
+    final_dims: int
+    bi_gru: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops.rnn import MaskedGRU
+
+        ones = jnp.ones(x.shape[:2], jnp.float32)
+        out, _ = MaskedGRU(
+            hidden_size=self.final_dims, bidirectional=self.bi_gru, name="rnn"
+        )(x, ones)
+        if self.bi_gru:
+            h = self.final_dims
+            out = (out[..., :h] + out[..., h:]) / 2.0
+        return f_normalize(jnp.mean(out, axis=1), axis=1)
+
+
 class TransformerMapping(nn.Module):
     """SAEM image branch (ref ImgEncoder.py:324-350): Linear -> 1 BERT layer
     over regions (all-ones mask) -> mean-pool -> normalize."""
@@ -138,15 +185,25 @@ class SAEM(nn.Module):
     final_dims: int = 256
     embed_size: int = 1024
     txt_stru: str = "cnn"
+    img_stru: str = "trans"
     bi_gru: bool = False
     margin: float = 0.2
     max_violation: bool = False
     measure: str = "cosine"
 
     def setup(self):
-        self.img_enc = TransformerMapping(
-            trans_cfg=self.trans_cfg, final_dims=self.final_dims
-        )
+        if self.img_stru == "trans":
+            self.img_enc = TransformerMapping(
+                trans_cfg=self.trans_cfg, final_dims=self.final_dims
+            )
+        elif self.img_stru == "fc":
+            self.img_enc = FcMapping(final_dims=self.final_dims)
+        elif self.img_stru == "cnn":
+            self.img_enc = CnnMapping(final_dims=self.final_dims)
+        elif self.img_stru == "rnn":
+            self.img_enc = RnnMapping(final_dims=self.final_dims, bi_gru=True)
+        else:
+            raise ValueError(f"Unknown img_stru: {self.img_stru}")
         self.txt_enc = BertMapping(
             bert_cfg=self.bert_cfg,
             trans_cfg=self.trans_cfg,
@@ -336,6 +393,7 @@ def build_saem(config: dict):
         final_dims=config["final_dims"],
         embed_size=config["embed_size"],
         txt_stru=config["txt_stru"],
+        img_stru=config.get("img_stru", "trans"),
         bi_gru=config["bi_gru"],
         margin=config["margin"],
         max_violation=config["max_violation"],

@@ -37,14 +37,30 @@ class VSEPP(nn.Module):
     no_imgnorm: bool = False
     margin: float = 0.2
     max_violation: bool = False
+    # raw-pixel path (ref Models.py:70-76): CNN tower when the dataset is not
+    # *_precomp
+    full_encoder: bool = False
+    cnn_type: str = "vgg19"
+    finetune: bool = False
 
     def setup(self):
-        self.img_enc = EncoderImagePrecomp(
-            embed_size=self.embed_size,
-            no_imgnorm=self.no_imgnorm,
-            precomp_enc_type="basic",
-            use_abs=self.use_abs,
-        )
+        if self.full_encoder:
+            from .cnn import EncoderImageFull
+
+            self.img_enc = EncoderImageFull(
+                embed_size=self.embed_size,
+                cnn_type=self.cnn_type,
+                finetune=self.finetune,
+                use_abs=self.use_abs,
+                no_imgnorm=self.no_imgnorm,
+            )
+        else:
+            self.img_enc = EncoderImagePrecomp(
+                embed_size=self.embed_size,
+                no_imgnorm=self.no_imgnorm,
+                precomp_enc_type="basic",
+                use_abs=self.use_abs,
+            )
         # ref Models.py:77-79 passes no_txtnorm=False unconditionally
         self.txt_enc = EncoderText(
             vocab_size=self.vocab_size,
@@ -56,7 +72,10 @@ class VSEPP(nn.Module):
         )
 
     def embed(self, batch, train: bool = False):
-        img = self.img_enc(batch["images"])
+        if self.full_encoder:
+            img = self.img_enc(batch["images"], train=train)
+        else:
+            img = self.img_enc(batch["images"])
         cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
         return {"img": img, "cap": cap}
 

@@ -74,6 +74,21 @@ def language_model_loss(logprobs, targets, mask):
     return jnp.sum(nll * mask) / logprobs.shape[0]
 
 
+def reward_loss(logprobs, seq, reward):
+    """Self-critical reward loss (ref Objectives.py:121-134).
+
+    Defined-but-unused in the reference's training flows; kept for API parity.
+    logprobs: (B, T) sampled-token log-probs; seq: (B, T) sampled ids;
+    reward: (B, T) advantages.
+    """
+    mask = (seq > 0).astype(logprobs.dtype)
+    mask = jnp.concatenate(
+        [jnp.ones((mask.shape[0], 1), mask.dtype), mask[:, :-1]], axis=1
+    )
+    out = -logprobs.reshape(-1) * reward.reshape(-1) * mask.reshape(-1)
+    return jnp.sum(out) / jnp.sum(mask)
+
+
 def _pairwise_x_npair(anchors, positives):
     """x[i, j] = a_i . (p_j - p_i) for j != i (diagonal invalid)."""
     ap = anchors @ positives.T  # (n, n), ap[i, j] = a_i . p_j

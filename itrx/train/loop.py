@@ -222,6 +222,22 @@ def fit(config, train_dataset=None, val_dataset=None):
 
             v = load_pretrained_weights(config, {"params": state.params})
             state = state.replace(params=v["params"])
+        cnn_w = config.get("cnn_weights")
+        if cnn_w and config["data_name"] in ("coco", "f8k", "f30k"):
+            from ..models.cnn import load_torch_cnn
+
+            cnn_p, cnn_s = load_torch_cnn(cnn_w, config.get("img_encoder", "vgg19"))
+            params = dict(state.params)
+            img = dict(params["img_enc"])
+            img["cnn"] = cnn_p
+            params["img_enc"] = img
+            bs = dict(state.batch_stats) if state.batch_stats else {}
+            if cnn_s:
+                bs_img = dict(bs.get("img_enc", {}))
+                bs_img["cnn"] = cnn_s
+                bs["img_enc"] = bs_img
+            state = state.replace(params=params, batch_stats=bs)
+            print(f"=> loaded pretrained CNN weights from {cnn_w}")
 
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print("Optimizable parameter number of the whole model is ", n_params)
