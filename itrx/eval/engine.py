@@ -15,7 +15,6 @@ each tile carries its own caption mask.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -63,6 +62,73 @@ def encode_data(model, variables, dataset, batch_size: int):
 
 
 def cal_sims(
+    model,
+    variables,
+    img_embs,
+    cap_embs,
+    cap_mask=None,
+    img_tile: int = 256,
+    cap_tile: int = 1024,
+    verbose: bool = True,
+    mesh=None,
+    length_buckets: int = 4,
+):
+    """See _cal_sims_tiled.  For token-level caption embeddings the word axis
+    is statically padded (~3x the mean caption length on f30k/coco), and the
+    cross-attention similarity cost is linear in it — so captions are first
+    sorted into up to `length_buckets` buckets, each trimmed to its own
+    (multiple-of-8) word length, and the result columns are scattered back.
+    Cuts the VPU-bound elementwise work on the attention tensor by ~2-3x.
+    """
+    if (
+        cap_mask is None
+        or length_buckets <= 1
+        or cap_embs.ndim != 3
+        or cap_embs.shape[0] < 64
+    ):
+        return _cal_sims_tiled(
+            model, variables, img_embs, cap_embs, cap_mask,
+            img_tile, cap_tile, verbose, mesh,
+        )
+
+    t0 = time.time()
+    lengths = np.asarray(jnp.sum(cap_mask, axis=1)).astype(np.int64)
+    order = np.argsort(lengths, kind="stable")
+    nc = cap_embs.shape[0]
+    # bucket boundaries at quantiles, lengths rounded up to multiples of 8
+    bounds = sorted(
+        {
+            int(-(-int(lengths[order[min(int(q * nc), nc - 1)]]) // 8) * 8)
+            for q in (0.25, 0.5, 0.75, 1.0)
+        }
+    )[: length_buckets]
+    bounds[-1] = max(bounds[-1], int(-(-lengths.max() // 8) * 8))
+    bounds[-1] = min(bounds[-1], cap_embs.shape[1])
+
+    sims = jnp.zeros((img_embs.shape[0], nc), jnp.float32)
+    start = 0
+    prev_bound = 0
+    for b in bounds:
+        in_bucket = order[(lengths[order] > prev_bound) & (lengths[order] <= b)]
+        prev_bound = b
+        if len(in_bucket) == 0:
+            continue
+        idx = jnp.asarray(in_bucket)
+        caps_b = cap_embs[idx, :b]
+        mask_b = cap_mask[idx, :b]
+        s = _cal_sims_tiled(
+            model, variables, img_embs, caps_b, mask_b,
+            img_tile, cap_tile, verbose=False, mesh=mesh,
+        )
+        sims = sims.at[:, idx].set(s)
+    if verbose:
+        print(
+            "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
+        )
+    return sims
+
+
+def _cal_sims_tiled(
     model,
     variables,
     img_embs,

@@ -16,7 +16,7 @@ synthetic runs).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ from ..ops.norms import f_normalize, l2norm
 from .agsa import AGSA, PositionEncoder, Summarization
 from .bert import BertConfig, BertLayer, BertModel
 from .layers import TorchBatchNorm, TorchLinear, XavierLinear
-from .txt_encoders import EncoderText  # noqa: F401 (rnn head reuse)
 
 
 def _default_trans_cfg(final_dims: int) -> BertConfig:

@@ -14,8 +14,6 @@ Reference: itr/modalmodule/Models.py.  Each method exposes three entry points
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 import flax.linen as nn
 

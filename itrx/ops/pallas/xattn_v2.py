@@ -1,0 +1,185 @@
+"""Fused SCAN t2i kernel, batched-rows layout (v2).
+
+v1 (xattn.py) loops over the images of a block and issues (36, D) matmuls —
+~28% MXU row occupancy.  v2 batches a whole image block into one
+(BLOCK_I*Rp, D) @ (D, BLOCK_C*L) matmul with the region axis padded 36->40
+(sublane-aligned), and the per-image softmax/reductions become axis-1
+operations on the (BLOCK_I, Rp, BLOCK_C*L) view — a pure sublane-dim split,
+no relayout.  The per-image Gram context norm becomes one matmul against a
+precomputed block-diagonal (BLOCK_I*Rp, BLOCK_I*Rp) Gram.
+
+Padded region rows carry zero features; they contribute nothing to the
+masked l2norm and are excluded from the region softmax by a -inf row mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-8
+NEG_INF = -1e18
+
+
+def _kernel(
+    img_ref,      # (BI*Rp, D)
+    gram_ref,     # (1, BI*Rp, BI*Rp) block-diagonal fp32
+    capt_ref,     # (D, BC*L)
+    capn_ref,     # (1, BC*L)
+    mask_ref,     # (1, BC*L)
+    group_ref,    # (BC*L, BC)
+    rowmask_ref,  # (BI*Rp, 1) fp32: 1 for real regions, 0 for padded rows
+    out_ref,      # (1, BI, BC)
+    *,
+    block_i: int,
+    rp: int,
+    lambda_lse: float,
+    lambda_softmax: float,
+):
+    capt = capt_ref[:]
+    capn = capn_ref[:]
+    mask = mask_ref[:]
+    group = group_ref[:]
+    rowm = rowmask_ref[:]
+    bcl = capt.shape[1]
+
+    a = jax.lax.dot(
+        img_ref[:], capt,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (BI*Rp, BCL) raw dots
+    h = jnp.where(a > 0, a, 0.1 * a) * mask
+    sq = h * h
+    gs = jnp.dot(sq, group, preferred_element_type=jnp.float32)
+    denom = jnp.dot(gs, group.T, preferred_element_type=jnp.float32)
+    attn = h / (jnp.sqrt(jnp.maximum(denom, 1e-16)) + EPS)
+
+    # region softmax per image group, padded rows excluded
+    z = attn * lambda_softmax
+    z = jnp.where(rowm > 0, z, NEG_INF)
+    z3 = z.reshape(block_i, rp, bcl)
+    z3 = z3 - jnp.max(z3, axis=1, keepdims=True)
+    e = jnp.exp(z3)
+    attn_s3 = e / jnp.sum(e, axis=1, keepdims=True)
+    attn_s = attn_s3.reshape(block_i * rp, bcl)
+
+    num = jnp.sum((attn_s * a).reshape(block_i, rp, bcl), axis=1)  # (BI, BCL)
+    y = jax.lax.dot(
+        gram_ref[0], attn_s,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    ctx = jnp.sum((attn_s * y).reshape(block_i, rp, bcl), axis=1)  # (BI, BCL)
+
+    row_sim = num / jnp.maximum(jnp.sqrt(jnp.maximum(ctx, 1e-16)) * capn, EPS)
+    e2 = jnp.exp(row_sim * lambda_lse) * mask  # (BI, BCL)
+    out = jnp.log(
+        jnp.dot(e2, group, preferred_element_type=jnp.float32)
+    ) / lambda_lse  # (BI, BC)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lambda_lse", "lambda_softmax", "block_i", "block_c",
+                     "interpret"),
+)
+def xattn_t2i_fused_v2(
+    images,
+    captions,
+    cap_mask,
+    *,
+    lambda_lse: float = 6.0,
+    lambda_softmax: float = 9.0,
+    block_i: int = 8,
+    block_c: int = 16,
+    interpret: bool = False,
+):
+    """Same contract as xattn.xattn_t2i_fused; batched-rows kernel."""
+    ni, r, d = images.shape
+    nc, l, _ = captions.shape
+    rp = ((r + 7) // 8) * 8
+
+    ni_pad = -(-ni // block_i) * block_i
+    nc_pad = -(-nc // block_c) * block_c
+    images = jnp.pad(
+        images, ((0, ni_pad - ni), (0, rp - r), (0, 0))
+    )
+    if nc_pad != nc:
+        captions = jnp.pad(captions, ((0, nc_pad - nc), (0, 0), (0, 0)))
+        cap_mask = jnp.pad(cap_mask, ((0, nc_pad - nc), (0, 0)))
+        cap_mask = cap_mask.at[nc:, 0].set(1.0)
+
+    mask_f = cap_mask.astype(jnp.float32)
+    capz = captions * mask_f[..., None].astype(captions.dtype)
+    cap_t = capz.reshape(nc_pad * l, d).T
+    cap_norm = jnp.sqrt(
+        jnp.sum(jnp.square(capz.astype(jnp.float32)), axis=-1)
+    ).reshape(1, nc_pad * l)
+    mask_row = mask_f.reshape(1, nc_pad * l)
+
+    # block-diagonal Grams per image block: (n_blocks, BI*Rp, BI*Rp)
+    gram = jnp.einsum(
+        "ird,isd->irs", images, images, preferred_element_type=jnp.float32
+    )  # (ni_pad, Rp, Rp)
+    n_ib = ni_pad // block_i
+    eye_bi = jnp.eye(block_i, dtype=jnp.float32)
+    gram_bd = jnp.einsum(
+        "bxrs,xy->bxrys",
+        gram.reshape(n_ib, block_i, rp, rp),
+        eye_bi,
+    ).reshape(n_ib, block_i * rp, block_i * rp)
+
+    group = jnp.asarray(
+        np.kron(np.eye(block_c, dtype=np.float32), np.ones((l, 1), np.float32))
+    )
+    row_mask = jnp.asarray(
+        np.tile(
+            (np.arange(rp) < r).astype(np.float32), block_i
+        ).reshape(block_i * rp, 1)
+    )
+
+    images2d = images.reshape(ni_pad * rp, d)
+    bcl = block_c * l
+    birp = block_i * rp
+    grid = (ni_pad // block_i, nc_pad // block_c)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            block_i=block_i,
+            rp=rp,
+            lambda_lse=lambda_lse,
+            lambda_softmax=lambda_softmax,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nc_pad // block_c, ni_pad, block_c), jnp.float32
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((birp, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, birp, birp), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((d, bcl), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bcl), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bcl), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bcl, block_c), lambda i, c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((birp, 1), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_i, block_c), lambda i, c: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(images2d, gram_bd, cap_t, cap_norm, mask_row, group, row_mask)
+
+    out = jnp.transpose(out, (1, 0, 2)).reshape(ni_pad, nc_pad)
+    return out[:ni, :nc]

@@ -9,6 +9,7 @@ forwarded to the loss (#6, SAEM's alpha schedule).
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 import time
@@ -18,16 +19,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..eval import engine, metrics
+from ..eval import engine
 from ..utils.checkpoint import save_train_checkpoint
 from ..utils.logging import AverageMeter, LogCollector, MetricWriter, second2DHM
-from .state import TrainState, create_train_state, make_optimizer
+from .state import TrainState, create_train_state
 
 logger = logging.getLogger("itrx")
 
 
 def make_train_step(model, tx):
-    @jax.jit
+    # donate the state so params/opt buffers update in place on device
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng, epoch):
         def loss_fn(params):
             variables = {"params": params}

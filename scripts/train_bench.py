@@ -1,0 +1,46 @@
+import sys, os
+sys.path.insert(0, "/root/repo")
+import time, numpy as np, jax, jax.numpy as jnp, sys
+from itrx.models import get_model
+from itrx.train.state import create_train_state
+from itrx.train.loop import make_train_step
+
+rng = np.random.default_rng(0)
+def mk_batch(B=128, R=36, D=2048, L=48, V=11353):
+    return {
+      "images": jnp.asarray(rng.standard_normal((B, R, D)).astype(np.float32)),
+      "cap_ids": jnp.asarray(rng.integers(0, V, (B, L)).astype(np.int32)),
+      "cap_mask": jnp.asarray((np.arange(L)[None] < rng.integers(6, L, (B,))[:,None]).astype(np.float32)),
+    }
+
+def bench(name, cfg, batch):
+    t_start = time.perf_counter()
+    model = get_model(cfg)
+    cfg.update(learning_rate=2e-4, lr_update=15, grad_clip=2.0, seed=0)
+    state, tx = create_train_state(model, cfg, batch, 100)
+    step = make_train_step(model, tx)
+    r = jax.random.PRNGKey(0)
+    state, aux = step(state, batch, r, 0)
+    l = float(aux["Loss"])
+    compile_t = time.perf_counter() - t_start
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        state, aux = step(state, batch, r, 0)
+    _ = float(aux["Loss"])
+    dt = (time.perf_counter()-t0)/n
+    print(f"{name:10s}: {dt*1000:7.1f} ms/step -> {128/dt:7.0f} cap/s (compile {compile_t:.0f}s, loss {l:.1f})", flush=True)
+
+which = sys.argv[1]
+if which == "VSE_PP":
+    bench("VSE_PP", dict(name="VSE_PP", vocab_size=11353, embed_size=1024, word_dim=300, measure="cosine", use_abs=False, no_imgnorm=False, margin=0.2, max_violation=True, data_name="f30k_precomp"), dict(mk_batch(), images=jnp.asarray(rng.standard_normal((128, 4096)).astype(np.float32))))
+elif which == "SCAN":
+    bench("SCAN", dict(name="SCAN", vocab_size=11353, embed_size=1024, word_dim=300, bi_gru=True, no_imgnorm=False, no_txtnorm=True, precomp_enc_type="basic", margin=0.2, max_violation=True, cross_attn="t2i", raw_feature_norm="clipped_l2norm", agg_func="LogSumExp", lambda_lse=6.0, lambda_softmax=9.0), mk_batch())
+elif which == "SGRAF":
+    bench("SGRAF", dict(name="SGRAF", vocab_size=11353, embed_size=1024, word_dim=300, sim_dim=256, bi_gru=True, no_imgnorm=False, no_txtnorm=False, module_name="SGR", sgr_step=3, margin=0.2, max_violation=True, cap_chunk=32), mk_batch())
+elif which == "VSRN":
+    b = mk_batch(L=61)
+    b["label_ids"] = jnp.asarray(rng.integers(0, 11353, (128, 61)).astype(np.int32))
+    b["label_mask"] = jnp.asarray(np.ones((128,61),np.float32))
+    b["cap_mask"] = jnp.ones((128,61),jnp.float32)
+    bench("VSRN", dict(name="VSRN", vocab_size=11353, embed_size=2048, word_dim=300, data_name="f30k_precomp", measure="cosine", use_abs=False, no_imgnorm=False, no_txtnorm=False, margin=0.2, max_violation=False, max_len=60, dim_hidden=512, dim_vid=2048, dim_word=300, input_dropout_p=0.2), b)
