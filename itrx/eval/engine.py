@@ -106,7 +106,6 @@ def cal_sims(
     bounds[-1] = min(bounds[-1], cap_embs.shape[1])
 
     sims = jnp.zeros((img_embs.shape[0], nc), jnp.float32)
-    start = 0
     prev_bound = 0
     for b in bounds:
         in_bucket = order[(lengths[order] > prev_bound) & (lengths[order] <= b)]

@@ -340,7 +340,11 @@ class CAMERA(nn.Module):
         img, smry_mat = self.img_enc(
             batch["images"], batch["boxes"], batch["imgs_wh"], train=train
         )
-        return {"img": img, "cap": cap, "smry_mat": smry_mat}
+        out = {"img": img, "cap": cap}
+        if train:
+            # smry_mat only feeds the diversity regularizer
+            out["smry_mat"] = smry_mat
+        return out
 
     def similarity(self, img, cap, cap_mask=None, train: bool = False):
         return sim.multi_view_matching(img, cap)

@@ -218,7 +218,12 @@ class VSRN(nn.Module):
     def embed(self, batch, train: bool = False):
         img, gcn = self.img_enc(batch["images"], train=train)
         cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
-        return {"img": img, "cap": cap, "gcn": gcn}
+        out = {"img": img, "cap": cap}
+        if train:
+            # the GCN sequence only feeds the caption-decoder loss; stacking
+            # it during eval would hold (N, 36, 2048) activations for nothing
+            out["gcn"] = gcn
+        return out
 
     def similarity(self, img, cap, cap_mask=None, train: bool = False):
         if self.measure == "order":
