@@ -100,12 +100,16 @@ def test_dp_train_step_runs_and_matches_unsharded(rng):
     state, tx = create_train_state(model, cfg, batch, steps_per_epoch=10)
     step = make_train_step(model, tx)
 
+    # the step donates its input state; keep an undonated copy for the
+    # sharded comparison run
+    state_copy = jax.tree.map(jnp.copy, state)
+
     # unsharded
     s_a, aux_a = step(state, batch, jax.random.PRNGKey(5), 0)
 
     # dp-sharded over 8 devices
     m = pmesh.make_mesh(devices=jax.devices()[:8])
-    state_r = pmesh.replicate_tree(state, m)
+    state_r = pmesh.replicate_tree(state_copy, m)
     batch_s = pmesh.shard_batch(batch, m)
     s_b, aux_b = step(state_r, batch_s, jax.random.PRNGKey(5), 0)
 
