@@ -111,7 +111,6 @@ def base_config() -> dict:
         cap_chunk=32,        # SGRAF caption chunking
         eval_img_tile=256,   # eval sim-matrix tiling (images per tile)
         eval_cap_tile=1024,  # eval sim-matrix tiling (captions per tile)
-        compute_dtype="float32",
         use_fused_eval=False,  # Pallas fused SCAN eval kernel (TPU only)
         mesh_shape=None,     # e.g. {'dp': 8} for multi-chip data parallel
     )

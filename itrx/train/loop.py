@@ -251,8 +251,15 @@ def fit(config, train_dataset=None, val_dataset=None):
         from ..parallel.mesh import make_mesh, replicate_tree
 
         mesh = make_mesh(config)
-        state = replicate_tree(state, mesh)
-        print(f"=> data-parallel mesh over {mesh.size} devices")
+        if config["batch_size"] % mesh.size != 0:
+            print(
+                f"=> batch_size {config['batch_size']} not divisible by "
+                f"{mesh.size} devices; staying single-device"
+            )
+            mesh = None
+        else:
+            state = replicate_tree(state, mesh)
+            print(f"=> data-parallel mesh over {mesh.size} devices")
 
     step_fn = make_train_step(model, tx)
     for epoch in range(start_epoch, config["num_epochs"]):

@@ -1,5 +1,7 @@
-import sys, os
-sys.path.insert(0, "/root/repo")
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax, jax.numpy as jnp, sys
 from itrx.models import get_model
 from itrx.train.state import create_train_state
