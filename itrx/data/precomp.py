@@ -210,12 +210,27 @@ class PrecompDataset:
         return batch
 
     def train_batches(self, batch_size, seed=0, epoch=0):
-        """Shuffled, static-shape batches; drops the final partial batch."""
+        """Shuffled batches; drops the final partial batch.
+
+        Batches keep their random composition (same sampling as the
+        reference), but each batch's caption arrays are trimmed to the batch
+        max length rounded up to a multiple of 8 — a handful of static shapes
+        instead of one, and the GRU scan + cross-attention cost tracks the
+        true lengths instead of the corpus max.  VSRN keeps its fixed
+        max_len+1 layout (the labels feed the fixed-length decoder).
+        """
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(self.length)
         n_batches = self.length // batch_size
+        trim = self.label_ids is None and self.type_ids is None
         for b in range(n_batches):
-            yield self.gather(order[b * batch_size : (b + 1) * batch_size])
+            batch = self.gather(order[b * batch_size : (b + 1) * batch_size])
+            if trim:
+                lb = int(batch["cap_mask"].sum(axis=1).max())
+                lb = min(_round_up(max(lb, 8)), batch["cap_ids"].shape[1])
+                batch["cap_ids"] = batch["cap_ids"][:, :lb]
+                batch["cap_mask"] = batch["cap_mask"][:, :lb]
+            yield batch
 
     def eval_batches(self, batch_size):
         """In-order batches; the final batch is zero-padded with `n_valid` set."""

@@ -127,3 +127,25 @@ def test_bert_dataset(synth_dir, tmp_path):
     assert ds.cap_ids.shape == (80, 32)
     assert ds.type_ids is not None
     assert ds.vocab_size == 32  # 5 specials + 27 words
+
+
+def test_train_batches_trim_to_batch_max(synth_dir):
+    cfg = _config(synth_dir)
+    ds = precomp.PrecompDataset(synth_dir, "train", cfg)
+    # force a long static pad, then check batches trim back down
+    L = ds.cap_ids.shape[1]
+    ds.cap_ids = np.pad(ds.cap_ids, ((0, 0), (0, 40)))
+    ds.cap_mask = np.pad(ds.cap_mask, ((0, 0), (0, 40)))
+    b = next(iter(ds.train_batches(batch_size=8, seed=0)))
+    assert b["cap_ids"].shape[1] <= L  # trimmed to batch max (rounded to 8)
+    assert b["cap_ids"].shape[1] % 8 == 0
+    np.testing.assert_array_equal(
+        b["cap_mask"].sum(1), ds.cap_mask[b["ids"]].sum(1)
+    )
+
+
+def test_vsrn_batches_not_trimmed(synth_dir):
+    cfg = _config(synth_dir, name="VSRN", max_len=12)
+    ds = precomp.PrecompDataset(synth_dir, "train", cfg)
+    b = next(iter(ds.train_batches(batch_size=8)))
+    assert b["cap_ids"].shape[1] == 13  # fixed max_len+1 layout preserved
