@@ -166,7 +166,8 @@ class PrecompDataset:
                 return vocab_mod.deserialize_vocab(path)
             return vocab_mod.load_vocab_pkl(path)
         # also try the other extension before building from scratch
-        alt = path[:-4] + ("pkl" if vtype == "json" else "json")
+        stem, ext = os.path.splitext(path)
+        alt = stem + (".pkl" if ext == ".json" else ".json")
         if os.path.exists(alt):
             if alt.endswith("json"):
                 return vocab_mod.deserialize_vocab(alt)

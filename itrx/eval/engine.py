@@ -280,14 +280,18 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
         res[f"PART_{i + 1}"] = r
         res["sum_result"] += r["result"]
 
+    # per-part rows are list(r) + list(ri) + [ar, ari, rsum]: indices
+    # 10=ar, 11=ari, 12=rsum.  (The reference misreads these —
+    # evaluation.py:310-314 reports ar*6 as "rsum" and ari as the i2t
+    # average; fixed here.)
     mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
     print("---------------------------------------------------------")
     print("--------------------- Mean metrics: ---------------------")
-    print("rsum: %.1f" % (mean_metrics[10] * 6))
+    print("rsum: %.1f" % mean_metrics[12])
     print("Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[:5])
     print("Text to image: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[5:10])
     mm = {
-        "rsum": mean_metrics[10] * 6,
+        "rsum": mean_metrics[12],
         "i2t_r1": mean_metrics[0],
         "i2t_r5": mean_metrics[1],
         "i2t_r10": mean_metrics[2],
@@ -298,8 +302,8 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
         "t2i_r10": mean_metrics[7],
         "t2i_medr": mean_metrics[8],
         "t2i_meanr": mean_metrics[9],
-        "i2t_ave_r": mean_metrics[11],
-        "t2i_ave_r": mean_metrics[12],
+        "i2t_ave_r": mean_metrics[10],
+        "t2i_ave_r": mean_metrics[11],
     }
     res["Mean_metrics"] = mm
     res["data_name"] = config["data_name"] + "_5fold"
@@ -413,8 +417,8 @@ def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold
             res[f"PART_{i + 1}"] = r
             res["sum_result"] += r["result"]
         mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
-        print("rsum: %.1f" % (mean_metrics[10] * 6))
-        res["Mean_metrics"] = {"rsum": mean_metrics[10] * 6}
+        print("rsum: %.1f" % mean_metrics[12])
+        res["Mean_metrics"] = {"rsum": mean_metrics[12]}
         res["data_name"] = config["data_name"] + "_5fold"
     res["modal_path_1"] = model_path
     res["modal_path_2"] = model_path2

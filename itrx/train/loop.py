@@ -64,14 +64,21 @@ def make_train_step(model, tx):
 
 
 def prefetch(iterator, size: int = 2):
-    """Host->device prefetch: overlap batch assembly with TPU compute."""
+    """Host->device prefetch: overlap batch assembly with TPU compute.
+
+    Producer exceptions are re-raised in the consumer (a silent producer
+    death would otherwise hang training on q.get()).
+    """
     q: Queue = Queue(maxsize=size)
     _END = object()
 
     def producer():
-        for item in iterator:
-            q.put(jax.tree.map(jnp.asarray, item))
-        q.put(_END)
+        try:
+            for item in iterator:
+                q.put(jax.tree.map(jnp.asarray, item))
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -79,6 +86,8 @@ def prefetch(iterator, size: int = 2):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -209,6 +218,14 @@ def fit(config, train_dataset=None, val_dataset=None):
             batch_stats=jax.tree.map(jnp.asarray, ckpt.get("batch_stats", {})),
             step=jnp.asarray(ckpt["Eiters"], jnp.int32),
         )
+        if ckpt.get("opt_state") is not None:
+            # restore Adam moments + the schedule's internal step count
+            # (otherwise a resumed run resets the LR decay to epoch 0)
+            from flax import serialization as _ser
+
+            state = state.replace(
+                opt_state=_ser.from_state_dict(state.opt_state, ckpt["opt_state"])
+            )
         start_epoch = ckpt["epoch"]
         best_rsum, best_r1 = ckpt["best_rsum"], ckpt["best_r1"]
         print(

@@ -43,7 +43,11 @@ def save_checkpoint(state_dict: dict, config: dict, filename: str):
         "batch_stats": _to_numpy(state_dict.get("batch_stats", {})),
     }
     if state_dict.get("opt_state") is not None:
-        arrays["opt_state"] = _to_numpy(state_dict["opt_state"])
+        from flax import serialization as _ser
+
+        arrays["opt_state"] = _to_numpy(
+            _ser.to_state_dict(state_dict["opt_state"])
+        )
     blob = serialization.msgpack_serialize(arrays)
     meta_blob = json.dumps(meta, default=str).encode("utf-8")
     tmp = filename + ".tmp"
@@ -77,6 +81,7 @@ def save_train_checkpoint(
     sd = {
         "params": state.params,
         "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
         "epoch": epoch,
         "best_rsum": best_rsum,
         "best_r1": best_r1,

@@ -149,3 +149,12 @@ def test_vsrn_batches_not_trimmed(synth_dir):
     ds = precomp.PrecompDataset(synth_dir, "train", cfg)
     b = next(iter(ds.train_batches(batch_size=8)))
     assert b["cap_ids"].shape[1] == 13  # fixed max_len+1 layout preserved
+
+
+def test_vocab_pkl_config_falls_back_to_json(synth_dir):
+    """vocab_type='pkl' with only a JSON vocab on disk must load it
+    (review fix: the alt-extension path was corrupted for .pkl)."""
+    cfg = _config(synth_dir, vocab_type="pkl")
+    ds = precomp.PrecompDataset(synth_dir, "train", cfg)
+    ds2 = precomp.PrecompDataset(synth_dir, "train", _config(synth_dir))
+    np.testing.assert_array_equal(ds.cap_ids, ds2.cap_ids)

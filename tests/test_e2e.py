@@ -64,3 +64,16 @@ def test_resume_restores_progress(flat_synth):
     cfg2 = parse_cli(args + [f"resume={ckpt}", "num_epochs=3"])
     state2, best2 = fit(cfg2)
     assert best2 >= best1 - 1e-6
+
+
+def test_prefetch_propagates_producer_errors():
+    from itrx.train.loop import prefetch
+
+    def bad_iter():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("loader exploded")
+
+    it = prefetch(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it)

@@ -73,3 +73,34 @@ def test_checkpoint_rejects_garbage(tmp_path):
         assert False, "should have raised"
     except ValueError as e:
         assert "not an itrx checkpoint" in str(e)
+
+
+def test_resume_restores_optimizer_schedule(tmp_path):
+    """A resumed run must continue the LR decay, not reset it (review fix)."""
+    import optax
+    from itrx.train.state import TrainState, make_optimizer
+    from flax import serialization
+
+    params = {"w": jnp.ones((4,))}
+    cfg = {"learning_rate": 1e-2, "lr_update": 1, "grad_clip": 2.0}
+    tx = make_optimizer(cfg, steps_per_epoch=2, params=params)
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    for _ in range(4):  # 2 epochs -> lr decayed by 0.1^2
+        updates, opt_state = tx.update(grads, opt_state, params)
+
+    # round-trip through the checkpoint format
+    path = str(tmp_path / "ck.itrx")
+    save_checkpoint(
+        {"params": params, "opt_state": opt_state, "epoch": 2,
+         "best_rsum": 0, "best_r1": 0, "Eiters": 4},
+        {"name": "SCAN"}, path,
+    )
+    ck = load_checkpoint(path)
+    restored = serialization.from_state_dict(tx.init(params), ck["opt_state"])
+    u_restored, _ = tx.update(grads, restored, params)
+    u_fresh, _ = tx.update(grads, tx.init(params), params)
+    # decayed LR -> much smaller update than a fresh optimizer's
+    assert float(jnp.abs(u_restored["w"]).max()) < 0.2 * float(
+        jnp.abs(u_fresh["w"]).max()
+    )
