@@ -62,11 +62,15 @@ def _sim_fn_for(model):
     return f
 
 
-def encode_data(model, variables, dataset, batch_size: int):
-    """Encode a full split; returns dict of stacked embeddings (+masks, on device).
+def encode_data(model, variables, dataset, batch_size: int,
+                offload_threshold_bytes: int = 2 << 30):
+    """Encode a full split; returns dict of stacked embeddings (+masks).
 
-    Mirror of ref encode_data (evaluation.py:75-121) without the host numpy
-    staging: the final padded batch is trimmed after stacking.
+    Mirror of ref encode_data (evaluation.py:75-121).  Embeddings whose full
+    stack exceeds `offload_threshold_bytes` (e.g. coco-testall token-level
+    caption embeddings, ~6.6GB) are staged to host numpy instead of living on
+    HBM; the similarity engine re-uploads them one length-bucket at a time.
+    Smaller stacks stay device-resident.
     """
     embed_fn = _embed_fn_for(model)
 
@@ -79,8 +83,15 @@ def encode_data(model, variables, dataset, batch_size: int):
     keys = outs[0][0].keys()
     result = {}
     for k in keys:
-        parts = [e[k][: int(nv)] for e, nv in outs]
-        result[k] = jnp.concatenate(parts, axis=0)
+        itemsize = outs[0][0][k].dtype.itemsize
+        per_item = int(np.prod(outs[0][0][k].shape[1:])) * itemsize
+        total = per_item * len(dataset)
+        if total > offload_threshold_bytes:
+            parts = [np.asarray(e[k][: int(nv)]) for e, nv in outs]
+            result[k] = np.concatenate(parts, axis=0)
+        else:
+            parts = [e[k][: int(nv)] for e, nv in outs]
+            result[k] = jnp.concatenate(parts, axis=0)
     return result
 
 
@@ -128,26 +139,34 @@ def cal_sims(
     bounds[-1] = max(bounds[-1], int(-(-lengths.max() // 8) * 8))
     bounds[-1] = min(bounds[-1], cap_embs.shape[1])
 
-    sims = jnp.zeros((img_embs.shape[0], nc), jnp.float32)
+    # assemble on host: a device scatter would hold a second full (Ni, Nc)
+    # matrix plus bucket copies live at once — OOM at coco-testall scale
+    sims_np = np.zeros((img_embs.shape[0], nc), np.float32)
     prev_bound = 0
     for b in bounds:
         in_bucket = order[(lengths[order] > prev_bound) & (lengths[order] <= b)]
         prev_bound = b
         if len(in_bucket) == 0:
             continue
-        idx = jnp.asarray(in_bucket)
-        caps_b = cap_embs[idx, :b]
-        mask_b = cap_mask[idx, :b]
+        if isinstance(cap_embs, np.ndarray):
+            # host-staged embeddings: upload just this bucket
+            caps_b = jnp.asarray(cap_embs[in_bucket, :b])
+            mask_b = jnp.asarray(np.asarray(cap_mask)[in_bucket, :b])
+        else:
+            idx = jnp.asarray(in_bucket)
+            caps_b = cap_embs[:, :b][idx]
+            mask_b = cap_mask[:, :b][idx]
         s = _cal_sims_tiled(
             model, variables, img_embs, caps_b, mask_b,
             img_tile, cap_tile, verbose=False, mesh=mesh,
         )
-        sims = sims.at[:, idx].set(s)
+        sims_np[:, in_bucket] = np.asarray(s)
+        del caps_b, mask_b, s
     if verbose:
         print(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
         )
-    return sims
+    return jnp.asarray(sims_np)
 
 
 def _cal_sims_tiled(
@@ -170,6 +189,18 @@ def _cal_sims_tiled(
     computed in parallel over ICI.
     """
     ni, nc = img_embs.shape[0], cap_embs.shape[0]
+    # budget the per-tile attention tensor for token-level similarities:
+    # a (img_tile, cap_tile, R, L) fp32 slab (plus XLA temporaries) must
+    # leave room for the resident embeddings on a 16GB chip
+    if cap_embs.ndim == 3 and getattr(img_embs, "ndim", 2) == 3:
+        r = img_embs.shape[1]
+        l = cap_embs.shape[1]
+        budget_elems = 512 * 1024 * 1024 // 4  # ~512MB fp32 per slab
+        max_pairs = max(budget_elems // max(r * l, 1), 1024)
+        while img_tile * cap_tile > max_pairs and cap_tile > 128:
+            cap_tile //= 2
+        while img_tile * cap_tile > max_pairs and img_tile > 32:
+            img_tile //= 2
     # balance tiles: round the tile size down so the last tile carries no
     # more than 8 rows of padding (cuts ~40% waste on ragged bucket sizes)
     img_tile = min(img_tile, ni)
@@ -205,6 +236,7 @@ def _cal_sims_tiled(
     def sim_fn(img, cap, mask):
         return _sim(variables, img, cap, mask)
 
+    img_embs = jnp.asarray(img_embs)
     t0 = time.time()
     n_it = -(-ni // img_tile)
     n_ct = -(-nc // cap_tile)
@@ -215,9 +247,9 @@ def _cal_sims_tiled(
         cols = []
         for j in range(n_ct):
             j0, j1 = j * cap_tile, min((j + 1) * cap_tile, nc)
-            cap_t = _pad_to(cap_embs[j0:j1], cap_tile)
+            cap_t = _pad_to(jnp.asarray(cap_embs[j0:j1]), cap_tile)
             if cap_mask is not None:
-                mask_t = _pad_to(cap_mask[j0:j1], cap_tile)
+                mask_t = _pad_to(jnp.asarray(cap_mask[j0:j1]), cap_tile)
                 # padded captions get one valid token to keep kernels finite
                 mask_t = mask_t.at[j1 - j0 :, 0].set(1.0) if j1 - j0 < cap_tile else mask_t
             else:
