@@ -239,19 +239,26 @@ def _parse_value(v: str):
 
 
 def parse_cli(argv, make_dirs: bool = True) -> dict:
-    """Parse `with METHOD k=v ...` into a finished config (sacred surface)."""
+    """Parse `with METHOD k=v ...` into a finished config (sacred surface).
+
+    sacred priority semantics: named configs resolve first (in argv order),
+    then explicit `key=value` overrides apply on top — an explicit override
+    always beats a named config regardless of its position on the line.
+    """
     cfg = base_config()
     args = list(argv)
     if args and args[0] == "with":
         args = args[1:]
+    overrides = []
     for a in args:
         if "=" in a:
             k, v = a.split("=", 1)
-            cfg[k] = _parse_value(v)
+            overrides.append((k, _parse_value(v)))
         elif a in _NAMED:
             cfg.update(_NAMED[a]())
         else:
             raise ValueError(f"Unknown named config or malformed override: {a}")
+    cfg.update(overrides)
     return finish_config(cfg, make_dirs=make_dirs)
 
 

@@ -172,6 +172,15 @@ class PrecompDataset:
             if alt.endswith("json"):
                 return vocab_mod.deserialize_vocab(alt)
             return vocab_mod.load_vocab_pkl(alt)
+        # shipped reference vocab packaged with itrx (works from any cwd;
+        # same data files the reference ships in itr/vocab/)
+        shipped = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "vocab",
+            f"{cfg['data_name']}_vocab.json",
+        )
+        if os.path.exists(shipped):
+            return vocab_mod.deserialize_vocab(shipped)
         # no shipped vocab: build from the training captions (threshold 4,
         # ref vocab.py:79-106) and cache it
         train_caps = os.path.join(self.data_path, "train_caps.txt")

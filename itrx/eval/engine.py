@@ -129,6 +129,7 @@ def cal_sims(
     lengths = np.asarray(jnp.sum(cap_mask, axis=1)).astype(np.int64)
     order = np.argsort(lengths, kind="stable")
     nc = cap_embs.shape[0]
+    ni = img_embs.shape[0]
     # bucket boundaries at quantiles, lengths rounded up to multiples of 8
     bounds = sorted(
         {
@@ -139,16 +140,26 @@ def cal_sims(
     bounds[-1] = max(bounds[-1], int(-(-lengths.max() // 8) * 8))
     bounds[-1] = min(bounds[-1], cap_embs.shape[1])
 
-    # assemble on host: a device scatter would hold a second full (Ni, Nc)
-    # matrix plus bucket copies live at once — OOM at coco-testall scale
-    sims_np = np.zeros((img_embs.shape[0], nc), np.float32)
+    # Assembly strategy scales with the actual problem: on the common case
+    # (device-resident embeddings, small output matrix — e.g. f30k-1K is
+    # ~20MB) the bucket columns are scattered on device with no host round
+    # trip.  Only when the embeddings were host-staged (coco-testall token
+    # stacks) or the output is large does assembly fall back to host numpy,
+    # where a device scatter would hold a second full (Ni, Nc) matrix plus
+    # bucket copies live at once.
+    host_staged = isinstance(cap_embs, np.ndarray)
+    on_device = (not host_staged) and (ni * nc * 4 * 2 < (1 << 30))
+    slab_bytes = (512 << 20) if host_staged else (2 << 30)
+    sims = jnp.zeros((ni, nc), jnp.float32) if on_device else np.zeros(
+        (ni, nc), np.float32
+    )
     prev_bound = 0
     for b in bounds:
         in_bucket = order[(lengths[order] > prev_bound) & (lengths[order] <= b)]
         prev_bound = b
         if len(in_bucket) == 0:
             continue
-        if isinstance(cap_embs, np.ndarray):
+        if host_staged:
             # host-staged embeddings: upload just this bucket
             caps_b = jnp.asarray(cap_embs[in_bucket, :b])
             mask_b = jnp.asarray(np.asarray(cap_mask)[in_bucket, :b])
@@ -159,14 +170,20 @@ def cal_sims(
         s = _cal_sims_tiled(
             model, variables, img_embs, caps_b, mask_b,
             img_tile, cap_tile, verbose=False, mesh=mesh,
+            slab_bytes=slab_bytes,
         )
-        sims_np[:, in_bucket] = np.asarray(s)
+        if on_device:
+            sims = sims.at[:, jnp.asarray(in_bucket)].set(s)
+        else:
+            sims[:, in_bucket] = np.asarray(s)
         del caps_b, mask_b, s
+    if on_device:
+        sims.block_until_ready()
     if verbose:
         print(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
         )
-    return jnp.asarray(sims_np)
+    return sims if on_device else jnp.asarray(sims)
 
 
 def _cal_sims_tiled(
@@ -179,6 +196,7 @@ def _cal_sims_tiled(
     cap_tile: int = 1024,
     verbose: bool = True,
     mesh=None,
+    slab_bytes: int | None = None,
 ):
     """Full (N_img, N_cap) similarity matrix in device-resident tiles.
 
@@ -191,11 +209,16 @@ def _cal_sims_tiled(
     ni, nc = img_embs.shape[0], cap_embs.shape[0]
     # budget the per-tile attention tensor for token-level similarities:
     # a (img_tile, cap_tile, R, L) fp32 slab (plus XLA temporaries) must
-    # leave room for the resident embeddings on a 16GB chip
+    # leave room for the resident embeddings on a 16GB chip.  The budget is
+    # conservative (512MB) only when the caller host-staged the embeddings
+    # (coco-testall scale); device-resident problems get a 2GB slab so the
+    # common f30k-1K case keeps full-size tiles.
     if cap_embs.ndim == 3 and getattr(img_embs, "ndim", 2) == 3:
         r = img_embs.shape[1]
         l = cap_embs.shape[1]
-        budget_elems = 512 * 1024 * 1024 // 4  # ~512MB fp32 per slab
+        if slab_bytes is None:
+            slab_bytes = (512 << 20) if isinstance(cap_embs, np.ndarray) else (2 << 30)
+        budget_elems = slab_bytes // 4
         max_pairs = max(budget_elems // max(r * l, 1), 1024)
         while img_tile * cap_tile > max_pairs and cap_tile > 128:
             cap_tile //= 2
@@ -312,17 +335,26 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
         res[f"PART_{i + 1}"] = r
         res["sum_result"] += r["result"]
 
-    # per-part rows are list(r) + list(ri) + [ar, ari, rsum]: indices
-    # 10=ar, 11=ari, 12=rsum.  (The reference misreads these —
-    # evaluation.py:310-314 reports ar*6 as "rsum" and ari as the i2t
-    # average; fixed here.)
-    mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
+    res["Mean_metrics"] = _fold5_mean_metrics(res["sum_result"])
+    res["data_name"] = config["data_name"] + "_5fold"
+    return res
+
+
+def _fold5_mean_metrics(sum_result) -> dict:
+    """Full per-direction mean block over the 5 coco folds.
+
+    Per-part rows are list(r) + list(ri) + [ar, ari, rsum]: indices 10=ar,
+    11=ari, 12=rsum.  (The reference misreads these — evaluation.py:310-314
+    and the ensemble copy at :420-432 report ar*6 as "rsum" and ari as the
+    i2t average; fixed here.)
+    """
+    mean_metrics = tuple(np.array(sum_result).mean(axis=0).flatten())
     print("---------------------------------------------------------")
     print("--------------------- Mean metrics: ---------------------")
     print("rsum: %.1f" % mean_metrics[12])
     print("Image to text: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[:5])
     print("Text to image: r1 %.1f; r5 %.1f; r10 %.1f; medr %.1f; meanr %.1f" % mean_metrics[5:10])
-    mm = {
+    return {
         "rsum": mean_metrics[12],
         "i2t_r1": mean_metrics[0],
         "i2t_r5": mean_metrics[1],
@@ -337,9 +369,6 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
         "i2t_ave_r": mean_metrics[10],
         "t2i_ave_r": mean_metrics[11],
     }
-    res["Mean_metrics"] = mm
-    res["data_name"] = config["data_name"] + "_5fold"
-    return res
 
 
 def _load_model_for_eval(model_path, data_path=None):
@@ -448,9 +477,7 @@ def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold
             r = metrics.cal_recall(sims)
             res[f"PART_{i + 1}"] = r
             res["sum_result"] += r["result"]
-        mean_metrics = tuple(np.array(res["sum_result"]).mean(axis=0).flatten())
-        print("rsum: %.1f" % mean_metrics[12])
-        res["Mean_metrics"] = {"rsum": mean_metrics[12]}
+        res["Mean_metrics"] = _fold5_mean_metrics(res["sum_result"])
         res["data_name"] = config["data_name"] + "_5fold"
     res["modal_path_1"] = model_path
     res["modal_path_2"] = model_path2

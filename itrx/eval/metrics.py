@@ -1,12 +1,16 @@
 """Recall@K ranking metrics, computed entirely on device.
 
 Reference semantics: itr/metricmodule/evaluation.py:156-259 (i2t/t2i/cal_recall).
-The reference ranks with a host-side `np.argsort` per query; here ranks are
-rank-by-counting (`rank(gt) = #{scores strictly greater than score(gt)}`),
-which is a single vectorized comparison + reduction and maps onto the VPU with
-no sort at all. On exact float ties this is the optimistic rank (the reference
-argsort breaks ties by descending index); ties have measure zero for real
-similarity matrices.
+The reference ranks with a host-side `np.argsort(...)[::-1]` per query; here
+ranks are rank-by-counting —
+
+    rank(gt) = #{scores strictly greater} + #{exact ties at a higher index}
+
+— a single vectorized comparison + reduction that maps onto the VPU with no
+sort at all.  The tie term reproduces the reference's argsort semantics
+deterministically (ascending sort reversed puts equal scores in descending
+index order), which matters for bf16 or ensemble-averaged sims where exact
+float ties are likely.
 
 The sim-matrix convention is the reference's: `sims[i, c]` is the similarity
 between image `i` (of N deduplicated images) and caption `c` (of `cap_ratio*N`
@@ -66,15 +70,21 @@ def i2t_ranks(sims: jnp.ndarray, cap_ratio: int = 5) -> jnp.ndarray:
     the 5 per-caption counting ranks.
     """
     n = sims.shape[0]
+    n_cap = sims.shape[1]
     gt_cols = (
         jnp.arange(n)[:, None] * cap_ratio + jnp.arange(cap_ratio)[None, :]
     )  # (N, cap_ratio)
     gt_scores = jnp.take_along_axis(sims, gt_cols, axis=1)  # (N, cap_ratio)
-    # rank of each gt caption: captions scoring strictly higher in that row
-    ranks_per_gt = jnp.sum(
-        sims[:, None, :] > gt_scores[:, :, None], axis=-1
-    )  # (N, cap_ratio)
-    return jnp.min(ranks_per_gt, axis=1)
+    # rank of each gt caption: strictly-higher scores, plus exact ties at a
+    # higher column index (the reference's reversed-argsort tie order)
+    cmp = sims[:, None, :]  # (N, 1, n_cap) vs (N, cap_ratio, 1)
+    greater = jnp.sum(cmp > gt_scores[:, :, None], axis=-1)
+    ties_after = jnp.sum(
+        (cmp == gt_scores[:, :, None])
+        & (jnp.arange(n_cap)[None, None, :] > gt_cols[:, :, None]),
+        axis=-1,
+    )
+    return jnp.min(greater + ties_after, axis=1)
 
 
 def t2i_ranks(sims: jnp.ndarray, cap_ratio: int = 5) -> jnp.ndarray:
@@ -83,7 +93,13 @@ def t2i_ranks(sims: jnp.ndarray, cap_ratio: int = 5) -> jnp.ndarray:
     n_cap = sims.shape[1]
     img_of_cap = jnp.arange(n_cap) // cap_ratio  # (5N,)
     gt_scores = sims[img_of_cap, jnp.arange(n_cap)]  # (5N,)
-    return jnp.sum(sims > gt_scores[None, :], axis=0)
+    greater = jnp.sum(sims > gt_scores[None, :], axis=0)
+    ties_after = jnp.sum(
+        (sims == gt_scores[None, :])
+        & (jnp.arange(n)[:, None] > img_of_cap[None, :]),
+        axis=0,
+    )
+    return greater + ties_after
 
 
 @functools.partial(jax.jit, static_argnames=("cap_ratio",))

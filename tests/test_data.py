@@ -158,3 +158,26 @@ def test_vocab_pkl_config_falls_back_to_json(synth_dir):
     ds = precomp.PrecompDataset(synth_dir, "train", cfg)
     ds2 = precomp.PrecompDataset(synth_dir, "train", _config(synth_dir))
     np.testing.assert_array_equal(ds.cap_ids, ds2.cap_ids)
+
+
+def test_shipped_reference_vocabs():
+    """The two reference vocab data files ship with itrx (VERDICT item 3):
+    documented sizes and the four special tokens at ids 0-3."""
+    import itrx
+
+    vdir = os.path.join(os.path.dirname(itrx.__file__), "vocab")
+    for name, size in (("coco_precomp", 11353), ("f30k_precomp", 8481)):
+        v = vocab.deserialize_vocab(os.path.join(vdir, f"{name}_vocab.json"))
+        assert len(v) == size, (name, len(v))
+        for tok, idx in ((vocab.PAD, 0), (vocab.START, 1), (vocab.END, 2), (vocab.UNK, 3)):
+            assert v(tok) == idx
+
+
+def test_shipped_vocab_loads_from_any_cwd(tmp_path):
+    """With no vocab at vocab_path, the packaged reference vocab is used
+    (never a silently rebuilt incompatible one)."""
+    d = synthetic.generate(str(tmp_path / "f30k_precomp"), n_images=8, img_dim=32)
+    cfg = _config(d, vocab_path=str(tmp_path / "nonexistent"))
+    assert cfg["data_name"] == "f30k_precomp"
+    ds = precomp.PrecompDataset(d, "train", cfg)
+    assert ds.vocab_size == 8481

@@ -88,3 +88,36 @@ def test_even_median(rng):
     got = metrics.i2t(sims)
     want, _ = oracle_i2t(sims)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _tied_sims(rng, n=10, levels=4):
+    """Sim matrix with massive exact-tie blocks (like bf16/ensemble sims)."""
+    return rng.integers(0, levels, (n, 5 * n)).astype(np.float32)
+
+
+def test_tie_breaking_matches_stable_argsort(rng):
+    """On exact ties the counting rank must equal the reference's reversed
+    argsort (stable kind: equal scores in descending index order)."""
+    sims = _tied_sims(rng)
+
+    def stable_i2t_ranks(s):
+        out = np.zeros(s.shape[0], np.int64)
+        for i in range(s.shape[0]):
+            inds = np.argsort(s[i], kind="stable")[::-1]
+            out[i] = min(np.where(inds == c)[0][0] for c in range(5 * i, 5 * i + 5))
+        return out
+
+    def stable_t2i_ranks(s):
+        sT = s.T
+        out = np.zeros(sT.shape[0], np.int64)
+        for c in range(sT.shape[0]):
+            inds = np.argsort(sT[c], kind="stable")[::-1]
+            out[c] = np.where(inds == c // 5)[0][0]
+        return out
+
+    np.testing.assert_array_equal(
+        np.asarray(metrics.i2t_ranks(sims)), stable_i2t_ranks(sims)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(metrics.t2i_ranks(sims)), stable_t2i_ranks(sims)
+    )
