@@ -112,6 +112,7 @@ def base_config() -> dict:
         eval_img_tile=256,   # eval sim-matrix tiling (images per tile)
         eval_cap_tile=1024,  # eval sim-matrix tiling (captions per tile)
         use_fused_eval=False,  # Pallas fused SCAN eval kernel (TPU only)
+        eval_bf16=False,     # bf16 embeddings in the eval sim grid (fp32 accum)
         mesh_shape=None,     # e.g. {'dp': 8} for multi-chip data parallel
     )
 

@@ -160,12 +160,20 @@ def load_torch_bert(ckpt_path: str, cfg: BertConfig):
     sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    return convert_bert_state_dict(sd, cfg.num_hidden_layers)
+
+
+def convert_bert_state_dict(sd: dict, num_hidden_layers: int):
+    """Convert an in-memory torch BERT state dict (tensors or numpy) into our
+    param tree.  Accepts both bare ('embeddings.*') and prefixed ('bert.*')
+    key layouts."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v)) for k, v in sd.items()}
 
     def np_(key):
         for prefix in ("", "bert."):
             k = prefix + key
             if k in sd:
-                return sd[k].numpy()
+                return sd[k]
         raise KeyError(key)
 
     def lin(key):
@@ -178,7 +186,7 @@ def load_torch_bert(ckpt_path: str, cfg: BertConfig):
             for cand in (f"{key}.{theirs}", f"{key}.weight" if theirs == "gamma" else f"{key}.bias"):
                 for prefix in ("", "bert."):
                     if prefix + cand in sd:
-                        d[ours] = sd[prefix + cand].numpy()
+                        d[ours] = sd[prefix + cand]
                         break
                 if ours in d:
                     break
@@ -191,7 +199,7 @@ def load_torch_bert(ckpt_path: str, cfg: BertConfig):
         "emb_ln": ln("embeddings.LayerNorm"),
         "pooler": lin("pooler.dense"),
     }
-    for i in range(cfg.num_hidden_layers):
+    for i in range(num_hidden_layers):
         base = f"encoder.layer.{i}"
         params[f"layer_{i}"] = {
             "query": lin(f"{base}.attention.self.query"),

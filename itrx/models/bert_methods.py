@@ -267,12 +267,14 @@ class CAMERAImageEncoder(nn.Module):
     @nn.compact
     def __call__(self, images, boxes, imgs_wh, train: bool = False):
         fc_emb = XavierLinear(self.embed_size, name="fc")(images)
-        fc_emb = l2norm(fc_emb, axis=-1)
+        # the reference's l2norm defaults to dim=1 (modalmodule/utils.py:15):
+        # on (B, R, D) these normalize over the REGION axis (ImgEncoder.py:378,383)
+        fc_emb = l2norm(fc_emb, axis=1)
         posi = PositionEncoder(self.embed_size, name="position_enc")(boxes, imgs_wh)
         att = AGSA(1, self.embed_size, h=self.head, drop=self.drop, name="agsa")(
             fc_emb, pos_emb=posi, train=train
         )
-        att = l2norm(att, axis=-1)
+        att = l2norm(att, axis=1)
         smry_mat = Summarization(self.embed_size, self.smry_k, name="mvs")(att)
         L = jax.nn.softmax(smry_mat, axis=1)  # over regions
         img_emb_mat = jnp.einsum("brk,brd->bkd", L, att)

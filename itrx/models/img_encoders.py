@@ -93,8 +93,12 @@ class EncoderImagePrecompAttn(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         fc_emb = XavierLinear(self.embed_size, name="fc")(images)
+        # NB: the reference's l2norm defaults to dim=1 (modalmodule/utils.py:15),
+        # so on the (B, N, D) region tensors these two norms run over the
+        # REGION axis — an original-VSRN quirk preserved for checkpoint parity
+        # (ImgEncoder.py:200,213).
         if self.data_name != "f30k_precomp":
-            fc_emb = l2norm(fc_emb, axis=-1)
+            fc_emb = l2norm(fc_emb, axis=1)
 
         x = fc_emb
         for i in range(1, 5):
@@ -103,7 +107,7 @@ class EncoderImagePrecompAttn(nn.Module):
                 use_running_average=not train,
                 name=f"Rs_GCN_{i}",
             )(x)
-        gcn_emb = l2norm(x, axis=-1)
+        gcn_emb = l2norm(x, axis=1)
 
         ones = jnp.ones(gcn_emb.shape[:2], dtype=gcn_emb.dtype)
         _, final = MaskedGRU(hidden_size=self.embed_size, name="img_rnn")(

@@ -230,6 +230,15 @@ class VSRN(nn.Module):
             return sim.order_sim(img, cap)
         return sim.cosine_sim(img, cap)
 
+    def caption(self, images, mode: str = "greedy", temperature: float = 1.0):
+        """Autoregressive caption sampling from region features
+        (ref Fusionmodule.py:303-341).  Returns (seq_logprobs, seq_preds),
+        each (B, max_len-2).  mode='multinomial' needs a 'sample' rng."""
+        _, gcn = self.img_enc(images, train=False)
+        return self.caption_model(
+            gcn, None, train=False, mode=mode, temperature=temperature
+        )
+
     def loss(self, batch, train: bool = True, epoch=0):
         e = self.embed(batch, train=train)
         scores = self.similarity(e["img"], e["cap"], train=train)

@@ -38,16 +38,28 @@ class EncoderRNN(nn.Module):
 
 
 class DecoderRNN(nn.Module):
-    """Teacher-forced attention decoder producing (B, max_len-1, V) log-probs."""
+    """Attention decoder (ref Fusionmodule.py:206-367).
+
+    mode='train': teacher forcing over `targets`, returns (B, max_len-1, V)
+    log-probs.  mode='greedy'/'multinomial': autoregressive sampling
+    (ref :303-341) via a lax.scan with sampled-token feedback; returns
+    (seq_logprobs (B, max_len-2), seq_preds (B, max_len-2)) matching the
+    reference's outputs (the t=0 <sos> feed is dropped from both, :340-341).
+    Beam search (a stub in the reference, `sample_beam` is never shipped)
+    is not implemented.
+    """
 
     vocab_size: int
     max_len: int
     dim_hidden: int
     dim_word: int
     input_dropout_p: float = 0.1
+    sos_id: int = 1
 
     @nn.compact
-    def __call__(self, encoder_outputs, encoder_hidden, targets, train: bool = False):
+    def __call__(self, encoder_outputs, encoder_hidden, targets=None,
+                 train: bool = False, mode: str = "train",
+                 temperature: float = 1.0):
         h = self.dim_hidden
         emb = self.param(
             "embedding", torch_embedding_init, (self.vocab_size, self.dim_word)
@@ -79,7 +91,6 @@ class DecoderRNN(nn.Module):
         b_ih = self.param("b_ih", u, (3 * h,))
         b_hh = self.param("b_hh", u, (3 * h,))
 
-        targets_emb = emb[targets]  # (B, T, dim_word)
         drop_rng = (
             self.make_rng("dropout")
             if (train and self.input_dropout_p > 0)
@@ -95,9 +106,7 @@ class DecoderRNN(nn.Module):
             alpha = jax.nn.softmax(e, axis=1)
             return jnp.einsum("bs,bsd->bd", alpha, encoder_outputs)
 
-        def step(carry, inp):
-            dec_h, t = carry, inp
-            current_words = targets_emb[:, t, :]
+        def rnn_step(dec_h, current_words, t):
             context = attend(dec_h)
             dec_in = jnp.concatenate([current_words, context], axis=1)
             if drop_rng is not None:
@@ -109,9 +118,49 @@ class DecoderRNN(nn.Module):
             logits = dec_h @ out_w + out_b
             return dec_h, jax.nn.log_softmax(logits, axis=-1)
 
+        if mode == "train":
+            targets_emb = emb[targets]  # (B, T, dim_word)
+
+            def step(dec_h, t):
+                return rnn_step(dec_h, targets_emb[:, t, :], t)
+
+            steps = jnp.arange(self.max_len - 1)
+            _, logprobs = jax.lax.scan(step, encoder_hidden, steps)
+            return jnp.transpose(logprobs, (1, 0, 2))  # (B, T, V)
+
+        if mode not in ("greedy", "multinomial"):
+            raise ValueError(f"Unknown decode mode: {mode}")
+
+        b = encoder_outputs.shape[0]
+        sample_rng = self.make_rng("sample") if mode == "multinomial" else None
+
+        def sample_step(carry, t):
+            dec_h, logprobs_prev = carry
+            if mode == "greedy":
+                it_sampled = jnp.argmax(logprobs_prev, axis=-1)
+            else:
+                key = jax.random.fold_in(sample_rng, t)
+                it_sampled = jax.random.categorical(
+                    key, logprobs_prev / temperature, axis=-1
+                )
+            # t == 0 feeds <sos> (ref :313); later steps feed the sample
+            it = jnp.where(t == 0, jnp.full((b,), self.sos_id, jnp.int32),
+                           it_sampled.astype(jnp.int32))
+            lp = jnp.take_along_axis(
+                logprobs_prev, it_sampled[:, None], axis=-1
+            )[:, 0]
+            dec_h, logprobs = rnn_step(dec_h, emb[it], t)
+            return (dec_h, logprobs), (it, lp)
+
+        init_lp = jnp.zeros((b, self.vocab_size), jnp.float32)
         steps = jnp.arange(self.max_len - 1)
-        _, logprobs = jax.lax.scan(step, encoder_hidden, steps)
-        return jnp.transpose(logprobs, (1, 0, 2))  # (B, T, V)
+        _, (its, lps) = jax.lax.scan(
+            sample_step, (encoder_hidden, init_lp), steps
+        )
+        # drop the t=0 <sos> feed, exactly like the reference (:340-341)
+        seq_preds = jnp.transpose(its[1:], (1, 0))
+        seq_logprobs = jnp.transpose(lps[1:], (1, 0))
+        return seq_logprobs, seq_preds
 
 
 class S2VTAttModel(nn.Module):
@@ -125,7 +174,8 @@ class S2VTAttModel(nn.Module):
     input_dropout_p: float = 0.2
 
     @nn.compact
-    def __call__(self, vid_feats, targets, train: bool = False):
+    def __call__(self, vid_feats, targets=None, train: bool = False,
+                 mode: str = "train", temperature: float = 1.0):
         enc_out, enc_hidden = EncoderRNN(
             dim_vid=self.dim_vid,
             dim_hidden=self.dim_hidden,
@@ -139,4 +189,5 @@ class S2VTAttModel(nn.Module):
             dim_word=self.dim_word,
             input_dropout_p=self.input_dropout_p,
             name="decoder",
-        )(enc_out, enc_hidden, targets, train=train)
+        )(enc_out, enc_hidden, targets, train=train, mode=mode,
+          temperature=temperature)

@@ -112,19 +112,25 @@ def xattn_score_t2i(
     # double rate; accumulation stays fp32)
     a = jnp.einsum("ird,cld->icrl", im, cap,
                    preferred_element_type=jnp.float32)
+    # the elementwise chain over the A-tensor is the VPU-bound hot path; run
+    # it in the input dtype (bf16 eval halves its cost), aggregate in fp32
+    wd = im.dtype
+    work = a.astype(wd)
     # func_attention: raw_feature_norm over the word axis (l), masked
-    attn = _normalize_raw_attn(a, raw_feature_norm, axis=3, mask=qmask[None, :, None, :])
+    attn = _normalize_raw_attn(
+        work, raw_feature_norm, axis=3, mask=qmask[None, :, None, :].astype(wd)
+    )
     # temperature softmax over regions r (all 36 valid)
     attn = jax.nn.softmax(attn * lambda_softmax, axis=2)  # (Ni,Nc,R,L)
 
     # numerator: cap_cl . weiContext_icl = sum_r attn * a
-    num = jnp.sum(attn * a, axis=2)  # (Ni,Nc,L)
+    num = jnp.sum((attn * work).astype(jnp.float32), axis=2)  # (Ni,Nc,L)
     # |weiContext|^2 via per-image region Grams
     gram = jnp.einsum("ird,isd->irs", im, im,
                       preferred_element_type=jnp.float32)  # (Ni,R,R)
-    gattn = jnp.einsum("irs,icsl->icrl", gram, attn,
+    gattn = jnp.einsum("irs,icsl->icrl", gram.astype(wd), attn,
                        preferred_element_type=jnp.float32)
-    ctx_sq = jnp.sum(attn * gattn, axis=2)  # (Ni,Nc,L)
+    ctx_sq = jnp.sum(attn.astype(jnp.float32) * gattn, axis=2)  # (Ni,Nc,L)
     cap_norm = safe_sqrt(jnp.sum((cap * cap).astype(jnp.float32), axis=-1))  # (Nc,L)
     denom = jnp.maximum(safe_sqrt(ctx_sq) * cap_norm[None], EPS)
     row_sim = num / denom  # (Ni,Nc,L)
@@ -155,23 +161,27 @@ def xattn_score_i2t(
     # raw dots A[i,c,l,r] = cap_cl . img_ir   (context=cap rows, query=img cols)
     a = jnp.einsum("cld,ird->iclr", cap, im,
                    preferred_element_type=jnp.float32)
+    wd = im.dtype
+    work = a.astype(wd)
     # raw_feature_norm over the region axis r (padded words produce garbage
     # rows but are masked out of the later softmax over words)
-    attn = _normalize_raw_attn(a, raw_feature_norm, axis=3, mask=None)
+    attn = _normalize_raw_attn(work, raw_feature_norm, axis=3, mask=None)
     # temperature softmax over words l, masked
-    logits = jnp.swapaxes(attn, 2, 3) * lambda_softmax  # (Ni,Nc,R,L)
-    logits = jnp.where(wmask[None, :, None, :] > 0, logits, NEG_INF)
-    attn_w = jax.nn.softmax(logits, axis=3)  # over words
+    logits = jnp.swapaxes(attn, 2, 3) * jnp.asarray(lambda_softmax, wd)
+    logits = jnp.where(wmask[None, :, None, :] > 0, logits.astype(jnp.float32), NEG_INF)
+    attn_w = jax.nn.softmax(logits, axis=3).astype(wd)  # over words
 
     # numerator: img_ir . weiContext_icr = sum_l attn_w * a^T
-    num = jnp.sum(attn_w * jnp.swapaxes(a, 2, 3), axis=3)  # (Ni,Nc,R)
+    num = jnp.sum(
+        (attn_w * jnp.swapaxes(work, 2, 3)).astype(jnp.float32), axis=3
+    )  # (Ni,Nc,R)
     # |weiContext|^2 via per-caption word Grams (padded words zeroed)
     capz = cap * wmask[:, :, None].astype(cap.dtype)
     gram = jnp.einsum("cld,cmd->clm", capz, capz,
                       preferred_element_type=jnp.float32)  # (Nc,L,L)
-    gattn = jnp.einsum("clm,icrm->icrl", gram, attn_w,
+    gattn = jnp.einsum("clm,icrm->icrl", gram.astype(wd), attn_w,
                        preferred_element_type=jnp.float32)
-    ctx_sq = jnp.sum(attn_w * gattn, axis=3)  # (Ni,Nc,R)
+    ctx_sq = jnp.sum(attn_w.astype(jnp.float32) * gattn, axis=3)  # (Ni,Nc,R)
     im_norm = safe_sqrt(jnp.sum((im * im).astype(jnp.float32), axis=-1))  # (Ni,R)
     denom = jnp.maximum(safe_sqrt(ctx_sq) * im_norm[:, None, :], EPS)
     row_sim = num / denom  # (Ni,Nc,R)

@@ -57,14 +57,16 @@ def _kernel(
     group = group_ref[:]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_i, block_c), 0)
 
+    bf16_in = capt.dtype == jnp.bfloat16
+
     def one_image(bi, acc):
         img = img_ref[bi]  # (R, D)
-        # value-bearing dots need >bf16 accuracy: single-pass bf16 drifts the
-        # LSE-aggregated sims by ~2e-2; 3-pass bf16 (XLA's fp32 default)
-        # keeps them at ~1e-3 for ~1/3 the cost of true fp32 (6-pass)
+        # fp32 inputs use the HIGHEST (6-pass) emulation; bf16 inputs ride
+        # the native single-pass MXU (the production eval_bf16 tolerance,
+        # asserted in tests/test_bf16_eval.py)
         a = jax.lax.dot(
             img, capt,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=None if bf16_in else jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (R, BCL) raw dots — the cosine numerator needs these unclipped
         # clipped_l2norm over each caption's words
@@ -82,11 +84,17 @@ def _kernel(
         attn = e / jnp.sum(e, axis=0, keepdims=True)
         # cosine numerator and Gram-form context norm
         num = jnp.sum(attn * a, axis=0, keepdims=True)  # (1, BCL)
-        y = jax.lax.dot(
-            gram_ref[bi], attn,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (R, BCL)
+        if bf16_in:
+            y = jax.lax.dot(
+                gram_ref[bi].astype(jnp.bfloat16), attn.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (R, BCL)
+        else:
+            y = jax.lax.dot(
+                gram_ref[bi], attn,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (R, BCL)
         ctx_sq = jnp.sum(attn * y, axis=0, keepdims=True)
         row_sim = num / jnp.maximum(
             jnp.sqrt(jnp.maximum(ctx_sq, 1e-16)) * capn, EPS

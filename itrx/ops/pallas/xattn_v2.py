@@ -48,9 +48,12 @@ def _kernel(
     rowm = rowmask_ref[:]
     bcl = capt.shape[1]
 
+    # bf16 inputs take the native single-pass MXU path (6x the rate of the
+    # fp32 HIGHEST emulation); fp32 accumulation either way
+    bf16_in = capt.dtype == jnp.bfloat16
     a = jax.lax.dot(
         img_ref[:], capt,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if bf16_in else jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (BI*Rp, BCL) raw dots
     h = jnp.where(a > 0, a, 0.1 * a) * mask
@@ -69,11 +72,17 @@ def _kernel(
     attn_s = attn_s3.reshape(block_i * rp, bcl)
 
     num = jnp.sum((attn_s * a).reshape(block_i, rp, bcl), axis=1)  # (BI, BCL)
-    y = jax.lax.dot(
-        gram_ref[0], attn_s,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    if bf16_in:
+        y = jax.lax.dot(
+            gram_ref[0].astype(jnp.bfloat16), attn_s.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = jax.lax.dot(
+            gram_ref[0], attn_s,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     ctx = jnp.sum((attn_s * y).reshape(block_i, rp, bcl), axis=1)  # (BI, BCL)
 
     row_sim = num / jnp.maximum(jnp.sqrt(jnp.maximum(ctx, 1e-16)) * capn, EPS)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 def cosine_sim(im, s):
     """Plain inner product between all image/sentence pairs: (Ni, D)x(Nc, D)->(Ni, Nc)."""
-    return im @ s.T
+    return jnp.matmul(im, s.T, preferred_element_type=jnp.float32)
 
 
 def order_sim(im, s):
@@ -32,7 +32,7 @@ def pdist_cos(x1, x2):
     """Pairwise cosine similarity with NaN→0 (SAEM cosine measure)."""
     n1 = x1 / jnp.linalg.norm(x1, axis=1, keepdims=True)
     n2 = x2 / jnp.linalg.norm(x2, axis=1, keepdims=True)
-    res = n1 @ n2.T
+    res = jnp.matmul(n1, n2.T, preferred_element_type=jnp.float32)
     return jnp.nan_to_num(res, nan=0.0)
 
 
@@ -42,5 +42,6 @@ def multi_view_matching(imgs, caps):
     imgs: (Ni, K, D) view embeddings; caps: (Nc, D) -> (Ni, Nc).
     One einsum + max instead of the reference's per-caption loop.
     """
-    scores = jnp.einsum("ikd,cd->ikc", imgs, caps)
+    scores = jnp.einsum("ikd,cd->ikc", imgs, caps,
+                        preferred_element_type=jnp.float32)
     return jnp.max(scores, axis=1)
