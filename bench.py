@@ -28,9 +28,16 @@ import numpy as np
 
 
 class _ScanSim:
-    """similarity-only shim for engine.cal_sims (SCAN t2i defaults)."""
+    """similarity-only shim for engine.cal_sims, mirroring SCAN.similarity's
+    production routing: fused Pallas kernel for bf16 tiles, XLA for fp32."""
 
     def apply(self, variables, img, cap, mask, train=False, method="similarity"):
+        import jax.numpy as jnp
+
+        if img.dtype == jnp.bfloat16:
+            from itrx.ops.pallas.xattn import xattn_t2i_fused
+
+            return xattn_t2i_fused(img, cap, mask)
         from itrx.ops import attention
 
         return attention.xattn_score_t2i(img, cap, mask)

@@ -73,6 +73,8 @@ def get_model(config: dict):
             margin=config["margin"],
             max_violation=config["max_violation"],
             cap_chunk=config.get("cap_chunk", 32),
+            sim_bf16=config.get("sim_bf16", False),
+            sim_remat=config.get("sim_remat", True),
         )
     if name == "SAEM":
         from .bert_methods import build_saem

@@ -63,10 +63,12 @@ class XavierLinear(nn.Module):
         kernel = self.param(
             "kernel", ref_xavier_init, (x.shape[-1], self.features)
         )
-        y = x @ kernel
+        # follow a reduced-precision input (bf16 activations keep the matmul
+        # on the fast MXU path instead of promoting back to fp32)
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

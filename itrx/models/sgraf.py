@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import scan_attention_context
-from ..ops.norms import l1norm, l2norm
+from ..ops.norms import l1norm, l2norm, safe_sqrt
 from .layers import TorchBatchNorm, XavierLinear
 
 NEG_INF = -1e18
@@ -122,26 +121,51 @@ class AttentionFiltration(nn.Module):
 
 
 class _ChunkScorer(nn.Module):
-    """Score one caption chunk against all images; params shared across chunks."""
+    """Score one caption chunk against all images; params shared across chunks.
+
+    compute_dtype='bfloat16' runs the whole alignment chain (SCAN attention
+    context, squared-diff alignment vectors, SGR/SAF reasoning) in bf16 —
+    the chunk tensors are the HBM-traffic hot spot of SGRAF training — and
+    returns fp32 scores.
+    """
 
     embed_size: int
     sim_dim: int
     module_name: str
     sgr_step: int
     train: bool
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c):
+        if self.compute_dtype is not None:
+            cdt = jnp.dtype(self.compute_dtype)
+            img_emb, img_glo, cap_c, glo_c = (
+                img_emb.astype(cdt), img_glo.astype(cdt),
+                cap_c.astype(cdt), glo_c.astype(cdt),
+            )
         ni = img_emb.shape[0]
         c = cap_c.shape[0]
-        cap_x = jnp.repeat(cap_c, ni, axis=0)  # (C*Ni, L, D)
-        mask_x = jnp.repeat(mask_c, ni, axis=0)
-        img_x = jnp.tile(img_emb, (c, 1, 1))
-        ctx = scan_attention_context(cap_x, img_x, mask_x, smooth=9.0)
-        sim_loc = (ctx - cap_x) ** 2
+        # pair-batched SCAN attention (Fusionmodule.py:632-664) without ever
+        # materializing the (C*Ni, L, D) repeated caption / tiled image
+        # copies — pure einsums over (C, Ni, ...) with broadcasting; the
+        # repeats were ~2GB of HBM copy traffic per chunk at batch 128
+        a = jnp.einsum("ird,cld->cirl", img_emb, cap_c)  # (C,Ni,R,L)
+        a = jax.nn.leaky_relu(a, negative_slope=0.1)
+        a = a * mask_c[:, None, None, :]
+        a = a / (safe_sqrt(jnp.sum(a * a, axis=3, keepdims=True)) + 1e-8)
+        attn = jax.nn.softmax(
+            jnp.swapaxes(a, 2, 3) * jnp.asarray(9.0, a.dtype), axis=3
+        )  # (C,Ni,L,R) over regions
+        ctx = jnp.einsum("cilr,ird->cild", attn, img_emb)  # (C,Ni,L,D)
+        ctx = ctx / (safe_sqrt(jnp.sum(ctx * ctx, axis=-1, keepdims=True)) + 1e-8)
+        sim_loc = (ctx - cap_c[:, None, :, :]) ** 2
         sim_loc = l2norm(
             XavierLinear(self.sim_dim, name="sim_tranloc_w")(sim_loc), axis=-1
-        )
+        ).reshape(c * ni, -1, self.sim_dim)
+        mask_x = jnp.broadcast_to(
+            mask_c[:, None, :], (c, ni, mask_c.shape[1])
+        ).reshape(c * ni, -1)
 
         sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2  # (C, Ni, D)
         sim_glo = l2norm(
@@ -164,7 +188,9 @@ class _ChunkScorer(nn.Module):
             )
         else:
             raise ValueError("Invalid module_name (SGR|SAF)")
-        sim_i = jax.nn.sigmoid(XavierLinear(1, name="sim_eval_w")(sim_vec))[:, 0]
+        sim_i = jax.nn.sigmoid(
+            XavierLinear(1, name="sim_eval_w")(sim_vec).astype(jnp.float32)
+        )[:, 0]
         return sim_i.reshape(c, ni).T  # (Ni, C)
 
 
@@ -180,6 +206,8 @@ class EncoderSimilarity(nn.Module):
     module_name: str = "SGR"
     sgr_step: int = 3
     cap_chunk: int = 32
+    compute_dtype: str | None = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, img_emb, cap_emb, cap_mask, train: bool = False):
@@ -197,13 +225,14 @@ class EncoderSimilarity(nn.Module):
             cap_emb, cap_ave, cap_mask, train=train
         )
 
-        scorer_cls = nn.remat(_ChunkScorer) if train else _ChunkScorer
+        scorer_cls = nn.remat(_ChunkScorer) if (train and self.remat) else _ChunkScorer
         scorer = scorer_cls(
             embed_size=self.embed_size,
             sim_dim=self.sim_dim,
             module_name=self.module_name,
             sgr_step=self.sgr_step,
             train=train,
+            compute_dtype=self.compute_dtype,
             name="scorer",
         )
 

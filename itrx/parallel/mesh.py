@@ -25,13 +25,50 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(config=None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """Device mesh from config['mesh_shape'].
+
+    mesh_shape=None or {'dp': n} -> 1-D data-parallel mesh.
+    mesh_shape={'dp': a, 'tp': b} -> 2-D mesh: batch sharded over 'dp',
+    large parameter matrices sharded over 'tp' (see param_pspec); XLA/GSPMD
+    inserts the all-gathers/reduce-scatters the matmuls need over ICI.
+    """
     devices = devices if devices is not None else jax.devices()
     shape = (config or {}).get("mesh_shape") if config else None
     if shape:
         n = int(np.prod(list(shape.values())))
         devices = devices[:n]
+        return Mesh(
+            np.asarray(devices).reshape(tuple(shape.values())),
+            axis_names=tuple(shape.keys()),
+        )
     return Mesh(np.asarray(devices), axis_names=("dp",))
+
+
+def param_pspec(leaf, mesh: Mesh) -> P:
+    """Tensor-parallel layout rule for one parameter leaf.
+
+    2-D matrices shard their larger axis over 'tp' when divisible (sharding
+    is pure layout — results are identical, XLA adds the collectives);
+    vectors, scalars and indivisible shapes replicate.
+    """
+    tp = mesh.shape.get("tp", 1)
+    if tp <= 1 or leaf.ndim != 2:
+        return P()
+    ax = int(np.argmax(leaf.shape))
+    if leaf.shape[ax] % tp != 0:
+        return P()
+    spec = [None, None]
+    spec[ax] = "tp"
+    return P(*spec)
+
+
+def shard_params(tree, mesh: Mesh):
+    """Place a parameter pytree on the mesh under the tp layout rules
+    (replicated everywhere when the mesh has no 'tp' axis)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, param_pspec(x, mesh))),
+        tree,
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -261,19 +261,31 @@ def fit(config, train_dataset=None, val_dataset=None):
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print("Optimizable parameter number of the whole model is ", n_params)
 
-    # data parallelism over all visible chips (SURVEY.md §2.10): params
-    # replicated, batch sharded on 'dp'; XLA inserts the ICI collectives.
+    # parallelism over all visible chips (SURVEY.md §2.10): batch sharded on
+    # 'dp'; with a 'tp' mesh axis (mesh_shape={'dp':a,'tp':b}) large parameter
+    # matrices shard over 'tp' and Adam moments inherit the layout; XLA
+    # inserts the ICI collectives either way.
     mesh = None
     if config.get("mesh_shape") or jax.device_count() > 1:
-        from ..parallel.mesh import make_mesh, replicate_tree
+        from ..parallel.mesh import make_mesh, replicate_tree, shard_params
 
         mesh = make_mesh(config)
-        if config["batch_size"] % mesh.size != 0:
+        dp = mesh.shape.get("dp", mesh.size)
+        if config["batch_size"] % dp != 0:
             print(
                 f"=> batch_size {config['batch_size']} not divisible by "
-                f"{mesh.size} devices; staying single-device"
+                f"dp={dp}; staying single-device"
             )
             mesh = None
+        elif mesh.shape.get("tp", 1) > 1:
+            params = shard_params(state.params, mesh)
+            state = state.replace(
+                params=params,
+                opt_state=jax.jit(tx.init)(params),  # moments follow layout
+                batch_stats=replicate_tree(state.batch_stats, mesh),
+                step=replicate_tree(state.step, mesh),
+            )
+            print(f"=> mesh {dict(mesh.shape)} (dp batch, tp params)")
         else:
             state = replicate_tree(state, mesh)
             print(f"=> data-parallel mesh over {mesh.size} devices")

@@ -97,3 +97,62 @@ def save_train_checkpoint(
             save_checkpoint(sd, config, os.path.join(prefix, "model_best.itrx"))
         )
     return written
+
+
+# --------------------------------------------------------------------------
+# Sharded (multi-host) checkpointing via orbax.
+#
+# The msgpack format above gathers everything to host numpy — correct on one
+# host, but on a multi-host pod each process only holds its shard of a
+# jax.Array.  The orbax path writes each shard from its owning host and
+# restores distributed arrays directly into a target sharding, so tp/dp
+#-sharded TrainStates round-trip without ever materializing on one host.
+# --------------------------------------------------------------------------
+
+
+def save_checkpoint_sharded(state_dict: dict, config: dict, ckpt_dir: str):
+    """Save {params, batch_stats, ...} (possibly sharded jax.Arrays) with
+    orbax.  `ckpt_dir` is a directory; metadata lands in meta.json."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    tree = {
+        "params": state_dict["params"],
+        "batch_stats": state_dict.get("batch_stats") or {},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(ckpt_dir, "arrays"), tree, force=True)
+    meta = {
+        "epoch": int(state_dict.get("epoch", 0)),
+        "best_rsum": float(state_dict.get("best_rsum", 0.0)),
+        "best_r1": float(state_dict.get("best_r1", 0.0)),
+        "Eiters": int(state_dict.get("Eiters", 0)),
+        "config": {k: v for k, v in config.items()},
+    }
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+    return ckpt_dir
+
+
+def load_checkpoint_sharded(ckpt_dir: str, target=None) -> dict:
+    """Restore an orbax checkpoint.  With `target` (a pytree of jax.Arrays or
+    ShapeDtypeStructs carrying shardings) arrays restore distributed into that
+    layout; without it they restore as host-replicated arrays."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+                target,
+            )
+            tree = ckptr.restore(os.path.join(ckpt_dir, "arrays"), abstract)
+        else:
+            tree = ckptr.restore(os.path.join(ckpt_dir, "arrays"))
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    out = dict(meta)
+    out.update(tree)
+    return out

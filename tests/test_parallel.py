@@ -128,3 +128,38 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dp_tp_mesh_train_step_matches_unsharded(rng):
+    """2-D dp x tp mesh: batch over dp, large kernels sharded over tp
+    (pure layout — loss and updated params must match single-device)."""
+    cfg = _scan_cfg()
+    model = get_model(cfg)
+    batch = _batch(rng, 16)
+    state, tx = create_train_state(model, cfg, batch, steps_per_epoch=10)
+    step = make_train_step(model, tx)
+    state_copy = jax.tree.map(jnp.copy, state)
+
+    s_a, aux_a = step(state, batch, jax.random.PRNGKey(5), 0)
+
+    m = pmesh.make_mesh({"mesh_shape": {"dp": 4, "tp": 2}})
+    assert dict(m.shape) == {"dp": 4, "tp": 2}
+    params = pmesh.shard_params(state_copy.params, m)
+    # at least one kernel actually lands sharded over tp
+    from jax.sharding import PartitionSpec as P
+    specs = [pmesh.param_pspec(x, m) for x in jax.tree.leaves(params)]
+    assert any(s != P() for s in specs)
+    state_s = state_copy.replace(
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+        batch_stats=pmesh.replicate_tree(state_copy.batch_stats, m),
+        step=pmesh.replicate_tree(state_copy.step, m),
+    )
+    batch_s = pmesh.shard_batch(batch, m)
+    s_b, aux_b = step(state_s, batch_s, jax.random.PRNGKey(5), 0)
+
+    np.testing.assert_allclose(
+        float(aux_a["Loss"]), float(aux_b["Loss"]), rtol=1e-5
+    )
+    for a, b2 in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-5)

@@ -104,3 +104,38 @@ def test_resume_restores_optimizer_schedule(tmp_path):
     assert float(jnp.abs(u_restored["w"]).max()) < 0.2 * float(
         jnp.abs(u_fresh["w"]).max()
     )
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """tp-sharded params round-trip through the orbax path, restoring
+    directly into the target sharding (multi-host-safe layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from itrx.parallel import mesh as pmesh
+    from itrx.utils.checkpoint import (
+        load_checkpoint_sharded, save_checkpoint_sharded,
+    )
+
+    m = pmesh.make_mesh({"mesh_shape": {"dp": 4, "tp": 2}})
+    params = {
+        "enc": {"kernel": jnp.arange(64 * 32, dtype=jnp.float32).reshape(64, 32),
+                "bias": jnp.ones((32,))},
+    }
+    sharded = pmesh.shard_params(params, m)
+    d = tmp_path / "ckpt"
+    save_checkpoint_sharded(
+        {"params": sharded, "epoch": 7, "best_rsum": 1.5, "Eiters": 42},
+        {"name": "SCAN"}, str(d),
+    )
+    ck = load_checkpoint_sharded(str(d), target={"params": sharded, "batch_stats": {}})
+    assert ck["epoch"] == 7 and ck["Eiters"] == 42
+    k = ck["params"]["enc"]["kernel"]
+    assert k.sharding == sharded["enc"]["kernel"].sharding
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(params["enc"]["kernel"]))
+    # and a shardless restore still yields the data
+    ck2 = load_checkpoint_sharded(str(d))
+    np.testing.assert_array_equal(
+        np.asarray(ck2["params"]["enc"]["bias"]), np.ones((32,))
+    )
