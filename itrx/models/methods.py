@@ -110,10 +110,10 @@ class SCAN(nn.Module):
     agg_func: str = "LogSumExp"
     lambda_lse: float = 6.0
     lambda_softmax: float = 9.0
-    # Pallas fused eval kernel (t2i/clipped_l2norm/LogSumExp only).  Engages
-    # only for bf16 inputs on a TPU backend (the eval_bf16 production mode,
-    # where it beats the XLA path 1.1-1.3x); fp32 falls back to XLA, which
-    # wins at that precision.
+    # Pallas fused eval kernels (t2i and i2t, clipped_l2norm, LogSumExp/Mean
+    # — every published SCAN variant).  Engage only for bf16 inputs on a TPU
+    # backend (the eval_bf16 production mode, where they beat the tiled XLA
+    # path 1.8-2.0x like-for-like at f30k-1K); fp32 falls back to XLA.
     use_fused_eval: bool = True
 
     def setup(self):
@@ -141,16 +141,18 @@ class SCAN(nn.Module):
             and not train
             and img.dtype == jnp.bfloat16
             and jax.default_backend() not in ("cpu", "gpu")
-            and self.cross_attn == "t2i"
+            and self.cross_attn in ("t2i", "i2t")
             and self.raw_feature_norm == "clipped_l2norm"
-            and self.agg_func == "LogSumExp"
+            and self.agg_func in ("LogSumExp", "Mean")
         ):
-            from ..ops.pallas.xattn import xattn_t2i_fused
+            from ..ops.pallas.xattn import xattn_i2t_fused, xattn_t2i_fused
 
-            return xattn_t2i_fused(
+            fused = xattn_t2i_fused if self.cross_attn == "t2i" else xattn_i2t_fused
+            return fused(
                 img, cap, cap_mask,
                 lambda_lse=self.lambda_lse,
                 lambda_softmax=self.lambda_softmax,
+                agg_func=self.agg_func,
             )
         fn = (
             attention.xattn_score_t2i

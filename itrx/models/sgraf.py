@@ -140,12 +140,24 @@ class _ChunkScorer(nn.Module):
     def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c):
         if self.compute_dtype is not None:
             cdt = jnp.dtype(self.compute_dtype)
-            img_emb, img_glo, cap_c, glo_c = (
+            img_emb, img_glo, cap_c, glo_c, mask_c = (
                 img_emb.astype(cdt), img_glo.astype(cdt),
                 cap_c.astype(cdt), glo_c.astype(cdt),
+                # an fp32 mask would silently promote every product back to
+                # fp32 — the whole downstream chunk chain rides on this cast
+                mask_c.astype(cdt),
             )
         ni = img_emb.shape[0]
         c = cap_c.shape[0]
+
+        def _norm(x, axis):
+            # l2 normalization with fp32-accumulated sum of squares (bf16
+            # accumulation over 1024-d axes drifts); XLA fuses the cast into
+            # the reduce, so no fp32 copy of x is materialized
+            sq = jnp.sum((x * x).astype(jnp.float32), axis=axis, keepdims=True)
+            inv = (1.0 / (safe_sqrt(sq) + 1e-8)).astype(x.dtype)
+            return x * inv
+
         # pair-batched SCAN attention (Fusionmodule.py:632-664) without ever
         # materializing the (C*Ni, L, D) repeated caption / tiled image
         # copies — pure einsums over (C, Ni, ...) with broadcasting; the
@@ -153,14 +165,14 @@ class _ChunkScorer(nn.Module):
         a = jnp.einsum("ird,cld->cirl", img_emb, cap_c)  # (C,Ni,R,L)
         a = jax.nn.leaky_relu(a, negative_slope=0.1)
         a = a * mask_c[:, None, None, :]
-        a = a / (safe_sqrt(jnp.sum(a * a, axis=3, keepdims=True)) + 1e-8)
+        a = _norm(a, axis=3)
         attn = jax.nn.softmax(
             jnp.swapaxes(a, 2, 3) * jnp.asarray(9.0, a.dtype), axis=3
         )  # (C,Ni,L,R) over regions
         ctx = jnp.einsum("cilr,ird->cild", attn, img_emb)  # (C,Ni,L,D)
-        ctx = ctx / (safe_sqrt(jnp.sum(ctx * ctx, axis=-1, keepdims=True)) + 1e-8)
+        ctx = _norm(ctx, axis=-1)
         sim_loc = (ctx - cap_c[:, None, :, :]) ** 2
-        sim_loc = l2norm(
+        sim_loc = _norm(
             XavierLinear(self.sim_dim, name="sim_tranloc_w")(sim_loc), axis=-1
         ).reshape(c * ni, -1, self.sim_dim)
         mask_x = jnp.broadcast_to(

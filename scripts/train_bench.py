@@ -34,12 +34,47 @@ def bench(name, cfg, batch):
     print(f"{name:10s}: {dt*1000:7.1f} ms/step -> {128/dt:7.0f} cap/s (compile {compile_t:.0f}s, loss {l:.1f})", flush=True)
 
 which = sys.argv[1]
+# extra k=v args override the method config (ints/floats/bools parsed)
+def _parse(v):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return {"True": True, "False": False}.get(v, v)
+
+OVERRIDES = {k: _parse(v) for k, v in (a.split("=", 1) for a in sys.argv[2:])}
+_bench = bench
+def bench(name, cfg, batch):
+    cfg.update(OVERRIDES)
+    tag = " ".join(f"{k}={v}" for k, v in OVERRIDES.items())
+    _bench(f"{name} {tag}".strip(), cfg, batch)
+
 if which == "VSE_PP":
     bench("VSE_PP", dict(name="VSE_PP", vocab_size=11353, embed_size=1024, word_dim=300, measure="cosine", use_abs=False, no_imgnorm=False, margin=0.2, max_violation=True, data_name="f30k_precomp"), dict(mk_batch(), images=jnp.asarray(rng.standard_normal((128, 4096)).astype(np.float32))))
 elif which == "SCAN":
     bench("SCAN", dict(name="SCAN", vocab_size=11353, embed_size=1024, word_dim=300, bi_gru=True, no_imgnorm=False, no_txtnorm=True, precomp_enc_type="basic", margin=0.2, max_violation=True, cross_attn="t2i", raw_feature_norm="clipped_l2norm", agg_func="LogSumExp", lambda_lse=6.0, lambda_softmax=9.0), mk_batch())
 elif which == "SGRAF":
     bench("SGRAF", dict(name="SGRAF", vocab_size=11353, embed_size=1024, word_dim=300, sim_dim=256, bi_gru=True, no_imgnorm=False, no_txtnorm=False, module_name="SGR", sgr_step=3, margin=0.2, max_violation=True, cap_chunk=32), mk_batch())
+elif which == "SAEM":
+    # reference shapes: batch 64, 32 wordpieces, random-init bert-base
+    b = mk_batch(B=64, L=32, V=30522)
+    b["type_ids"] = jnp.zeros((64, 32), jnp.int32)
+    bench("SAEM", dict(name="SAEM", vocab_size=30522, embed_size=1024, final_dims=256,
+                       txt_stru="cnn", img_stru="trans", bi_gru=False, margin=0.2,
+                       max_violation=True, measure="cosine",
+                       trans_cfg="itrx/configs/trans_cfg.json"), b)
+elif which == "CAMERA":
+    b = mk_batch(B=128, L=32, V=30522)
+    b["type_ids"] = jnp.zeros((128, 32), jnp.int32)
+    wh = rng.integers(300, 640, (128, 2)).astype(np.float32)
+    xy = rng.uniform(0, 0.5, (128, 36, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + rng.uniform(0.1, 0.5, (128, 36, 2)).astype(np.float32)], 2)
+    b["boxes"] = jnp.asarray(boxes * np.concatenate([wh, wh], 1)[:, None, :])
+    b["imgs_wh"] = jnp.asarray(wh)
+    bench("CAMERA", dict(name="CAMERA", vocab_size=30522, embed_size=2048, head=64,
+                         smry_k=12, smry_lamda=0.01, drop=0.0, margin=0.2,
+                         max_violation=True), b)
 elif which == "VSRN":
     b = mk_batch(L=61)
     b["label_ids"] = jnp.asarray(rng.integers(0, 11353, (128, 61)).astype(np.int32))
