@@ -39,11 +39,15 @@ def gru_cell(h, gx, w_hh, b_hh):
     return (1.0 - z) * n + z * h
 
 
-def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
+             unroll: int = 8):
     """Masked GRU over (B, L, D) inputs.
 
     Returns (outputs (B, L, H), final_h (B, H)).  Outputs are zero at padded
     positions; final_h is the hidden state at each sequence's last valid step.
+    The scan is unrolled (numerically identical) — the recurrence is
+    latency-bound on TPU and the while-loop overhead dominates the tiny
+    per-step matmul.
     """
     B, L, _ = x.shape
     H = w_hh.shape[1]
@@ -59,7 +63,13 @@ def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         return h, out
 
     h0 = jnp.zeros((B, H), dtype=x.dtype)
-    final_h, outs = jax.lax.scan(step, h0, (gates_x, m), reverse=reverse)
+    # unrolling pays only while the per-step matmul is small enough to be
+    # latency-bound; large-H steps (VSRN's 2048) are compute-bound and the
+    # unrolled body just bloats scheduling
+    eff_unroll = unroll if H <= 1024 else 1
+    final_h, outs = jax.lax.scan(
+        step, h0, (gates_x, m), reverse=reverse, unroll=min(eff_unroll, L)
+    )
     return jnp.swapaxes(outs, 0, 1), final_h
 
 
@@ -69,10 +79,31 @@ class MaskedGRU(nn.Module):
     `__call__(x, mask)` returns (outputs, final_states):
       - unidirectional: outputs (B, L, H), final (B, H)
       - bidirectional: outputs (B, L, 2H) = concat[fwd, bwd], final (B, 2H)
+
+    On TPU (and lane-aligned hidden sizes) the recurrence runs as the fused
+    Pallas kernel (itrx.ops.pallas.gru) — the lax.scan path is latency-bound
+    on the sequential carry; set use_fused=False to force the scan.
     """
 
     hidden_size: int
     bidirectional: bool = False
+    use_fused: bool = True
+
+    def _scan(self, x, mask, w_ih, w_hh, b_ih, b_hh, reverse=False):
+        if (
+            self.use_fused
+            and self.hidden_size % 128 == 0
+            # the recurrent weight must be VMEM-resident (~16MB/core): the
+            # (H, 3H) bf16 matrix is 6.3MB at H=1024 and 25MB at H=2048
+            # (VSRN's embed_size GRUs), which hard-OOMs the kernel stack
+            and self.hidden_size <= 1024
+            and jax.default_backend() not in ("cpu", "gpu")
+        ):
+            from .pallas.gru import gru_scan_fused
+
+            return gru_scan_fused(x, mask, w_ih, w_hh, b_ih, b_hh,
+                                  reverse=reverse)
+        return gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse=reverse)
 
     def _direction_params(self, name: str, in_dim: int):
         h = self.hidden_size
@@ -92,11 +123,11 @@ class MaskedGRU(nn.Module):
     def __call__(self, x, mask):
         in_dim = x.shape[-1]
         w_ih, w_hh, b_ih, b_hh = self._direction_params("", in_dim)
-        out_f, h_f = gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh)
+        out_f, h_f = self._scan(x, mask, w_ih, w_hh, b_ih, b_hh)
         if not self.bidirectional:
             return out_f, h_f
         w_ih_r, w_hh_r, b_ih_r, b_hh_r = self._direction_params("_reverse", in_dim)
-        out_b, h_b = gru_scan(x, mask, w_ih_r, w_hh_r, b_ih_r, b_hh_r, reverse=True)
+        out_b, h_b = self._scan(x, mask, w_ih_r, w_hh_r, b_ih_r, b_hh_r, reverse=True)
         return jnp.concatenate([out_f, out_b], axis=-1), jnp.concatenate(
             [h_f, h_b], axis=-1
         )
