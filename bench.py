@@ -31,6 +31,16 @@ class _ScanSim:
     """similarity-only shim for engine.cal_sims, mirroring SCAN.similarity's
     production routing: fused Pallas kernel for bf16 tiles, XLA for fp32."""
 
+    def fused_eval_active(self, compute_dtype):
+        import jax
+        import jax.numpy as jnp
+
+        return (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+            and jax.default_backend() not in ("cpu", "gpu")
+        )
+
     def apply(self, variables, img, cap, mask, train=False, method="similarity"):
         import jax.numpy as jnp
 

@@ -215,13 +215,26 @@ def _cal_sims_tiled(
     computed in parallel over ICI.
     """
     ni, nc = img_embs.shape[0], cap_embs.shape[0]
+    # when the model routes this dtype to a fused Pallas kernel, the raw
+    # attention tensor never touches HBM — no slab budget applies and tiling
+    # only adds dispatch/padding overhead, so the whole grid goes through in
+    # one call (bounded only by the output matrix + embeddings in HBM)
+    fused_active = getattr(model, "fused_eval_active", None)
+    if (
+        fused_active is not None
+        and fused_active(compute_dtype)
+        and mesh is None  # pallas_call does not SPMD-partition under a mesh
+        and not isinstance(cap_embs, np.ndarray)
+        and ni * nc * 4 * 2 < (6 << 30)
+    ):
+        img_tile, cap_tile = ni, nc
     # budget the per-tile attention tensor for token-level similarities:
     # a (img_tile, cap_tile, R, L) fp32 slab (plus XLA temporaries) must
     # leave room for the resident embeddings on a 16GB chip.  The budget is
     # conservative (512MB) only when the caller host-staged the embeddings
     # (coco-testall scale); device-resident problems get a 2GB slab so the
     # common f30k-1K case keeps full-size tiles.
-    if cap_embs.ndim == 3 and getattr(img_embs, "ndim", 2) == 3:
+    elif cap_embs.ndim == 3 and getattr(img_embs, "ndim", 2) == 3:
         r = img_embs.shape[1]
         l = cap_embs.shape[1]
         if slab_bytes is None:

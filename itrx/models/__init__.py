@@ -39,7 +39,7 @@ def get_model(config: dict):
             agg_func=config["agg_func"],
             lambda_lse=config["lambda_lse"],
             lambda_softmax=config["lambda_softmax"],
-            use_fused_eval=config.get("use_fused_eval", False),
+            use_fused_eval=config.get("use_fused_eval", True),
         )
     if name == "VSRN":
         return methods.VSRN(

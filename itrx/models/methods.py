@@ -135,6 +135,20 @@ class SCAN(nn.Module):
         cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
         return {"img": img, "cap": cap, "cap_mask": batch["cap_mask"]}
 
+    def fused_eval_active(self, compute_dtype) -> bool:
+        """True when eval similarity at `compute_dtype` routes to the fused
+        Pallas kernels (the eval engine then skips tile budgeting — the
+        kernels stream the whole grid without an HBM attention tensor)."""
+        return (
+            self.use_fused_eval
+            and compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+            and jax.default_backend() not in ("cpu", "gpu")
+            and self.cross_attn in ("t2i", "i2t")
+            and self.raw_feature_norm == "clipped_l2norm"
+            and self.agg_func in ("LogSumExp", "Mean")
+        )
+
     def similarity(self, img, cap, cap_mask, train: bool = False):
         if (
             self.use_fused_eval
