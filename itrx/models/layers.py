@@ -59,15 +59,23 @@ class XavierLinear(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel", ref_xavier_init, (x.shape[-1], self.features)
+    def __call__(self, x, *, params_only: bool = False):
+        # params_only: pass the input dim as an int and get (kernel, bias)
+        # back — for callers (Pallas kernels) that apply the weights
+        # themselves while keeping this module's checkpoint layout
+        in_dim = x if isinstance(x, int) else x.shape[-1]
+        kernel = self.param("kernel", ref_xavier_init, (in_dim, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
         )
+        if params_only:
+            return kernel, bias
         # follow a reduced-precision input (bf16 activations keep the matmul
         # on the fast MXU path instead of promoting back to fp32)
         y = x @ kernel.astype(x.dtype)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 

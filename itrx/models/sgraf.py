@@ -140,13 +140,14 @@ class _ChunkScorer(nn.Module):
     def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c):
         if self.compute_dtype is not None:
             cdt = jnp.dtype(self.compute_dtype)
-            img_emb, img_glo, cap_c, glo_c, mask_c = (
+            img_emb, img_glo, cap_c, glo_c = (
                 img_emb.astype(cdt), img_glo.astype(cdt),
                 cap_c.astype(cdt), glo_c.astype(cdt),
-                # an fp32 mask would silently promote every product back to
-                # fp32 — the whole downstream chunk chain rides on this cast
-                mask_c.astype(cdt),
             )
+        # an fp32 mask would silently promote every product back to fp32 —
+        # the whole downstream chunk chain rides on this cast (this also
+        # covers eval_bf16, where the embeddings arrive already cast)
+        mask_c = mask_c.astype(img_emb.dtype)
         ni = img_emb.shape[0]
         c = cap_c.shape[0]
 
@@ -158,23 +159,45 @@ class _ChunkScorer(nn.Module):
             inv = (1.0 / (safe_sqrt(sq) + 1e-8)).astype(x.dtype)
             return x * inv
 
-        # pair-batched SCAN attention (Fusionmodule.py:632-664) without ever
-        # materializing the (C*Ni, L, D) repeated caption / tiled image
-        # copies — pure einsums over (C, Ni, ...) with broadcasting; the
-        # repeats were ~2GB of HBM copy traffic per chunk at batch 128
-        a = jnp.einsum("ird,cld->cirl", img_emb, cap_c)  # (C,Ni,R,L)
-        a = jax.nn.leaky_relu(a, negative_slope=0.1)
-        a = a * mask_c[:, None, None, :]
-        a = _norm(a, axis=3)
-        attn = jax.nn.softmax(
-            jnp.swapaxes(a, 2, 3) * jnp.asarray(9.0, a.dtype), axis=3
-        )  # (C,Ni,L,R) over regions
-        ctx = jnp.einsum("cilr,ird->cild", attn, img_emb)  # (C,Ni,L,D)
-        ctx = _norm(ctx, axis=-1)
-        sim_loc = (ctx - cap_c[:, None, :, :]) ** 2
-        sim_loc = _norm(
-            XavierLinear(self.sim_dim, name="sim_tranloc_w")(sim_loc), axis=-1
-        ).reshape(c * ni, -1, self.sim_dim)
+        loc_proj = XavierLinear(self.sim_dim, name="sim_tranloc_w")
+        d = img_emb.shape[-1]
+        if (
+            img_emb.dtype == jnp.bfloat16
+            and d % 128 == 0
+            and self.sim_dim % 128 == 0
+            and cap_c.shape[1] % 8 == 0
+            and jax.default_backend() not in ("cpu", "gpu")
+        ):
+            # fused Pallas path (bf16): the whole alignment chain — raw
+            # dots, word-norm, region softmax, context, squared diff,
+            # projection, l2norm — runs in VMEM per (caption-block, image)
+            # with a custom VJP; the (C, Ni, L, D) context tensor and its
+            # layout copies never touch HBM (itrx/ops/pallas/sgraf_align.py)
+            from ..ops.pallas.sgraf_align import sgraf_align
+
+            w, bb = loc_proj(d, params_only=True)
+            sim_loc = sgraf_align(cap_c, mask_c, img_emb, w, bb).reshape(
+                c * ni, -1, self.sim_dim
+            )
+        else:
+            # pair-batched SCAN attention (Fusionmodule.py:632-664) without
+            # ever materializing the (C*Ni, L, D) repeated caption / tiled
+            # image copies — pure einsums over (C, Ni, ...) with
+            # broadcasting; the repeats were ~2GB of HBM copy traffic per
+            # chunk at batch 128
+            a = jnp.einsum("ird,cld->cirl", img_emb, cap_c)  # (C,Ni,R,L)
+            a = jax.nn.leaky_relu(a, negative_slope=0.1)
+            a = a * mask_c[:, None, None, :]
+            a = _norm(a, axis=3)
+            attn = jax.nn.softmax(
+                jnp.swapaxes(a, 2, 3) * jnp.asarray(9.0, a.dtype), axis=3
+            )  # (C,Ni,L,R) over regions
+            ctx = jnp.einsum("cilr,ird->cild", attn, img_emb)  # (C,Ni,L,D)
+            ctx = _norm(ctx, axis=-1)
+            sim_loc = (ctx - cap_c[:, None, :, :]) ** 2
+            sim_loc = _norm(loc_proj(sim_loc), axis=-1).reshape(
+                c * ni, -1, self.sim_dim
+            )
         mask_x = jnp.broadcast_to(
             mask_c[:, None, :], (c, ni, mask_c.shape[1])
         ).reshape(c * ni, -1)
