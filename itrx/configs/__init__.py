@@ -113,6 +113,7 @@ def base_config() -> dict:
         eval_cap_tile=1024,  # eval sim-matrix tiling (captions per tile)
         use_fused_eval=True,   # Pallas fused SCAN eval kernels (engage on TPU bf16 eval)
         eval_bf16=False,     # bf16 embeddings in the eval sim grid (fp32 accum)
+        train_bf16=False,    # bf16 mixed-precision training (fp32 master state)
         sim_bf16=False,      # SGRAF: bf16 alignment chain in the sim tower
         sim_remat=True,      # SGRAF: rematerialize chunk activations in bwd
         mesh_shape=None,     # e.g. {'dp': 8} for multi-chip data parallel

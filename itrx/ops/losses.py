@@ -26,6 +26,7 @@ def contrastive_hinge(scores, margin: float = 0.2, max_violation: bool = False):
     TripletLoss (:482-517), which is the identical computation on precomputed
     scores.
     """
+    scores = scores.astype(jnp.float32)  # bf16 training still sums in fp32
     n = scores.shape[0]
     diag = jnp.diagonal(scores)
     eye = jnp.eye(n, dtype=bool)

@@ -51,9 +51,14 @@ def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
     """
     B, L, _ = x.shape
     H = w_hh.shape[1]
-    gates_x = x @ w_ih.T + b_ih  # (B, L, 3H) — single MXU matmul
+    in_dtype = x.dtype
+    # the input projection rides the MXU in the input dtype; the recurrence
+    # itself carries fp32 (a bf16 carry drifts over L sequential steps)
+    gates_x = (x @ w_ih.T + b_ih).astype(jnp.float32)
+    w_hh = w_hh.astype(jnp.float32)
+    b_hh = b_hh.astype(jnp.float32)
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (L, B, 3H)
-    m = jnp.swapaxes(mask.astype(x.dtype), 0, 1)[:, :, None]  # (L, B, 1)
+    m = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)[:, :, None]  # (L, B, 1)
 
     def step(h, inp):
         gx, mt = inp
@@ -62,7 +67,7 @@ def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
         out = mt * h_new
         return h, out
 
-    h0 = jnp.zeros((B, H), dtype=x.dtype)
+    h0 = jnp.zeros((B, H), dtype=jnp.float32)
     # unrolling pays only while the per-step matmul is small enough to be
     # latency-bound; large-H steps (VSRN's 2048) are compute-bound and the
     # unrolled body just bloats scheduling
@@ -70,7 +75,7 @@ def gru_scan(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
     final_h, outs = jax.lax.scan(
         step, h0, (gates_x, m), reverse=reverse, unroll=min(eff_unroll, L)
     )
-    return jnp.swapaxes(outs, 0, 1), final_h
+    return jnp.swapaxes(outs, 0, 1).astype(in_dtype), final_h.astype(in_dtype)
 
 
 class MaskedGRU(nn.Module):

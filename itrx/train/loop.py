@@ -27,23 +27,52 @@ from .state import TrainState, create_train_state
 logger = logging.getLogger("itrx")
 
 
-def make_train_step(model, tx):
+def make_train_step(model, tx, compute_dtype=None):
+    """compute_dtype='bfloat16' runs the forward/backward in bf16 mixed
+    precision: fp32 master params/opt-state/batch-stats, params and float
+    batch fields cast at the loss boundary (the cast transpose accumulates
+    gradients back in fp32), fp32 loss reductions (itrx.ops.losses upcast
+    their score inputs)."""
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+
+    def _cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
     # donate the state so params/opt buffers update in place on device
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng, epoch):
         def loss_fn(params):
+            b = batch
+            if cdt is not None:
+                params = _cast(params)
+                b = _cast(batch)
             variables = {"params": params}
             if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = (
+                    _cast(state.batch_stats) if cdt is not None
+                    else state.batch_stats
+                )
             out, mutated = model.apply(
                 variables,
-                batch,
+                b,
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
                 epoch=epoch,
             )
             loss, aux = out
+            if cdt is not None and mutated.get("batch_stats") is not None:
+                # mixed-precision stats updates restore the master dtype
+                mutated = dict(mutated)
+                mutated["batch_stats"] = jax.tree.map(
+                    lambda new, old: new.astype(old.dtype),
+                    mutated["batch_stats"], state.batch_stats,
+                )
             return loss, (aux, mutated)
 
         (loss, (aux, mutated)), grads = jax.value_and_grad(
@@ -129,7 +158,10 @@ def train_epoch(
     batch_time = AverageMeter()
     data_time = AverageMeter()
     train_logger = LogCollector()
-    step_fn = step_fn or make_train_step(model, tx)
+    step_fn = step_fn or make_train_step(
+        model, tx,
+        compute_dtype="bfloat16" if config.get("train_bf16") else None,
+    )
     rng = jax.random.PRNGKey(config["seed"] * 100003 + epoch)
 
     place = (lambda b: b)
@@ -290,7 +322,10 @@ def fit(config, train_dataset=None, val_dataset=None):
             state = replicate_tree(state, mesh)
             print(f"=> data-parallel mesh over {mesh.size} devices")
 
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(
+        model, tx,
+        compute_dtype="bfloat16" if config.get("train_bf16") else None,
+    )
     for epoch in range(start_epoch, config["num_epochs"]):
         state, best_rsum, best_r1 = train_epoch(
             config, model, tx, state, train_dataset, val_dataset, epoch,

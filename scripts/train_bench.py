@@ -20,7 +20,10 @@ def bench(name, cfg, batch):
     model = get_model(cfg)
     cfg.update(learning_rate=2e-4, lr_update=15, grad_clip=2.0, seed=0)
     state, tx = create_train_state(model, cfg, batch, 100)
-    step = make_train_step(model, tx)
+    step = make_train_step(
+        model, tx,
+        compute_dtype="bfloat16" if cfg.get("train_bf16") else None,
+    )
     r = jax.random.PRNGKey(0)
     state, aux = step(state, batch, r, 0)
     l = float(aux["Loss"])
