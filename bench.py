@@ -32,13 +32,14 @@ class _ScanSim:
     production routing: fused Pallas kernel for bf16 tiles, XLA for fp32."""
 
     def fused_eval_active(self, compute_dtype):
-        import jax
         import jax.numpy as jnp
+
+        from itrx.ops.pallas import pallas_ok
 
         return (
             compute_dtype is not None
             and jnp.dtype(compute_dtype) == jnp.bfloat16
-            and jax.default_backend() not in ("cpu", "gpu")
+            and pallas_ok()
         )
 
     def apply(self, variables, img, cap, mask, train=False, method="similarity"):

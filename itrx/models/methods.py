@@ -138,27 +138,24 @@ class SCAN(nn.Module):
     def fused_eval_active(self, compute_dtype) -> bool:
         """True when eval similarity at `compute_dtype` routes to the fused
         Pallas kernels (the eval engine then skips tile budgeting — the
-        kernels stream the whole grid without an HBM attention tensor)."""
+        kernels stream the whole grid without an HBM attention tensor).
+        `similarity` derives its own dispatch from this method so the two
+        can never drift (a drift would make the engine size an untiled grid
+        that then falls back to the XLA chain and OOMs HBM)."""
+        from ..ops.pallas import pallas_ok
+
         return (
             self.use_fused_eval
             and compute_dtype is not None
             and jnp.dtype(compute_dtype) == jnp.bfloat16
-            and jax.default_backend() not in ("cpu", "gpu")
+            and pallas_ok()
             and self.cross_attn in ("t2i", "i2t")
             and self.raw_feature_norm == "clipped_l2norm"
             and self.agg_func in ("LogSumExp", "Mean")
         )
 
     def similarity(self, img, cap, cap_mask, train: bool = False):
-        if (
-            self.use_fused_eval
-            and not train
-            and img.dtype == jnp.bfloat16
-            and jax.default_backend() not in ("cpu", "gpu")
-            and self.cross_attn in ("t2i", "i2t")
-            and self.raw_feature_norm == "clipped_l2norm"
-            and self.agg_func in ("LogSumExp", "Mean")
-        ):
+        if not train and self.fused_eval_active(img.dtype):
             from ..ops.pallas.xattn import xattn_i2t_fused, xattn_t2i_fused
 
             fused = xattn_t2i_fused if self.cross_attn == "t2i" else xattn_i2t_fused

@@ -159,6 +159,8 @@ class _ChunkScorer(nn.Module):
             inv = (1.0 / (safe_sqrt(sq) + 1e-8)).astype(x.dtype)
             return x * inv
 
+        from ..ops.pallas import pallas_ok
+
         loc_proj = XavierLinear(self.sim_dim, name="sim_tranloc_w")
         d = img_emb.shape[-1]
         if (
@@ -166,7 +168,7 @@ class _ChunkScorer(nn.Module):
             and d % 128 == 0
             and self.sim_dim % 128 == 0
             and cap_c.shape[1] % 8 == 0
-            and jax.default_backend() not in ("cpu", "gpu")
+            and pallas_ok()
         ):
             # fused Pallas path (bf16): the whole alignment chain — raw
             # dots, word-norm, region softmax, context, squared diff,

@@ -95,6 +95,8 @@ class MaskedGRU(nn.Module):
     use_fused: bool = True
 
     def _scan(self, x, mask, w_ih, w_hh, b_ih, b_hh, reverse=False):
+        from .pallas import pallas_ok
+
         if (
             self.use_fused
             and self.hidden_size % 128 == 0
@@ -102,7 +104,7 @@ class MaskedGRU(nn.Module):
             # (H, 3H) bf16 matrix is 6.3MB at H=1024 and 25MB at H=2048
             # (VSRN's embed_size GRUs), which hard-OOMs the kernel stack
             and self.hidden_size <= 1024
-            and jax.default_backend() not in ("cpu", "gpu")
+            and pallas_ok()
         ):
             from .pallas.gru import gru_scan_fused
 

@@ -18,7 +18,9 @@ def mk_batch(B=128, R=36, D=2048, L=48, V=11353):
 def bench(name, cfg, batch):
     t_start = time.perf_counter()
     model = get_model(cfg)
-    cfg.update(learning_rate=2e-4, lr_update=15, grad_clip=2.0, seed=0)
+    # defaults only — CLI k=v overrides (applied upstream) must win
+    for k, v in dict(learning_rate=2e-4, lr_update=15, grad_clip=2.0, seed=0).items():
+        cfg.setdefault(k, v)
     state, tx = create_train_state(model, cfg, batch, 100)
     step = make_train_step(
         model, tx,
