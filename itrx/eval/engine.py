@@ -180,7 +180,9 @@ def cal_sims(
             sims[:, in_bucket] = np.asarray(s)
         del caps_b, mask_b, s
     if on_device:
-        sims.block_until_ready()
+        # a tiny host transfer is the only real barrier under the axon
+        # relay (block_until_ready does not synchronize there)
+        np.asarray(sims[:1, :1])
     if verbose:
         print(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
@@ -305,7 +307,7 @@ def _cal_sims_tiled(
             cols.append(s[: i1 - i0, : j1 - j0])
         rows.append(jnp.concatenate(cols, axis=1))
     sims = jnp.concatenate(rows, axis=0)
-    sims.block_until_ready()
+    np.asarray(sims[:1, :1])  # real barrier (see cal_sims)
     if verbose:
         print(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)

@@ -195,9 +195,13 @@ def scan_attention_context(query, context, q_mask, smooth: float = 9.0):
 
     query: (B, Lq, D) caption words (masked by q_mask (B, Lq));
     context: (B, Ls, D) image regions.  Returns the l2-normalized weighted
-    context (B, Lq, D) — SGRAF needs the actual vectors (for squared-diff
-    alignment), so this one does materialize contexts; callers chunk over
-    captions to bound memory.
+    context (B, Lq, D).
+
+    This is the reference-shaped public form (per-pair batch axis), kept as
+    the documented primitive and the oracle for tests; the production SGRAF
+    scorer computes the same chain in (C, Ni, ...) broadcast form
+    (itrx/models/sgraf.py) or in the fused Pallas kernel
+    (itrx/ops/pallas/sgraf_align.py).
     """
     attn = jnp.einsum("bsd,bqd->bsq", context, query)  # (B, Ls, Lq)
     attn = jax.nn.leaky_relu(attn, negative_slope=0.1)

@@ -35,6 +35,10 @@ def make_mesh(config=None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     shape = (config or {}).get("mesh_shape") if config else None
     if shape:
+        if "dp" not in shape:
+            # everything downstream (batch sharding, caption-sharded eval)
+            # addresses a 'dp' axis — a tp-only request gets dp=1
+            shape = {"dp": 1, **shape}
         n = int(np.prod(list(shape.values())))
         devices = devices[:n]
         return Mesh(
@@ -68,6 +72,23 @@ def shard_params(tree, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, param_pspec(x, mesh))),
         tree,
+    )
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Lay a TrainState out for a tp mesh: params under the tp layout rules,
+    optimizer state re-laid-out to match (EXISTING values are preserved —
+    a resumed run keeps its Adam moments and LR-schedule count; only the
+    placement changes), batch stats and step replicated.
+
+    The Adam moments mirror the parameter shapes, so the same per-leaf
+    param_pspec rule lays them out identically to their parameters;
+    scalars (schedule counts) replicate."""
+    return state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=shard_params(state.opt_state, mesh),
+        batch_stats=replicate_tree(state.batch_stats, mesh),
+        step=replicate_tree(state.step, mesh),
     )
 
 

@@ -299,7 +299,7 @@ def fit(config, train_dataset=None, val_dataset=None):
     # inserts the ICI collectives either way.
     mesh = None
     if config.get("mesh_shape") or jax.device_count() > 1:
-        from ..parallel.mesh import make_mesh, replicate_tree, shard_params
+        from ..parallel.mesh import make_mesh, replicate_tree, shard_train_state
 
         mesh = make_mesh(config)
         dp = mesh.shape.get("dp", mesh.size)
@@ -310,13 +310,9 @@ def fit(config, train_dataset=None, val_dataset=None):
             )
             mesh = None
         elif mesh.shape.get("tp", 1) > 1:
-            params = shard_params(state.params, mesh)
-            state = state.replace(
-                params=params,
-                opt_state=jax.jit(tx.init)(params),  # moments follow layout
-                batch_stats=replicate_tree(state.batch_stats, mesh),
-                step=replicate_tree(state.step, mesh),
-            )
+            # re-lays out the existing state: a resumed run keeps its Adam
+            # moments and LR-schedule count under the tp layout
+            state = shard_train_state(state, mesh)
             print(f"=> mesh {dict(mesh.shape)} (dp batch, tp params)")
         else:
             state = replicate_tree(state, mesh)

@@ -163,3 +163,60 @@ def test_dp_tp_mesh_train_step_matches_unsharded(rng):
     )
     for a, b2 in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-5)
+
+
+def test_tp_only_mesh_gets_dp_axis():
+    """mesh_shape={'tp': N} must still expose a 'dp' axis (batch sharding
+    and caption-sharded eval address it); review finding: it used to crash
+    at the first shard_batch."""
+    from itrx.parallel import mesh as pmesh
+    import jax.numpy as jnp
+
+    m = pmesh.make_mesh({"mesh_shape": {"tp": 2}})
+    assert "dp" in m.shape and m.shape["dp"] == 1 and m.shape["tp"] == 2
+    b = pmesh.shard_batch({"x": jnp.ones((4, 3))}, m)
+    assert b["x"].shape == (4, 3)
+
+
+def test_shard_train_state_preserves_opt_state():
+    """Re-laying a TrainState out for a tp mesh must keep the restored Adam
+    moments and schedule count (review finding: the old tp branch re-inited
+    the optimizer, silently discarding a resumed run's moments)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from itrx.models import get_model
+    from itrx.parallel import mesh as pmesh
+    from itrx.train.loop import make_train_step
+    from itrx.train.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((8, 4, 32)).astype(np.float32)),
+        "cap_ids": jnp.asarray(rng.integers(0, 50, (8, 6)).astype(np.int32)),
+        "cap_mask": jnp.ones((8, 6), jnp.float32),
+    }
+    cfg = dict(name="SCAN", vocab_size=50, embed_size=32, word_dim=16,
+               bi_gru=False, no_imgnorm=False, no_txtnorm=True,
+               precomp_enc_type="basic", margin=0.2, max_violation=True,
+               cross_attn="t2i", raw_feature_norm="clipped_l2norm",
+               agg_func="LogSumExp", lambda_lse=6.0, lambda_softmax=9.0,
+               learning_rate=1e-3, lr_update=15, grad_clip=2.0, seed=0)
+    model = get_model(cfg)
+    state, tx = create_train_state(model, cfg, batch, 10)
+    # advance a few steps so the moments and count are non-trivial
+    step = make_train_step(model, tx)
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(0), 0)
+
+    before = [np.asarray(x) for x in jax.tree.leaves(state.opt_state)]
+    m = pmesh.make_mesh({"mesh_shape": {"dp": 4, "tp": 2}})
+    sharded = pmesh.shard_train_state(state, m)
+    after = [np.asarray(x) for x in jax.tree.leaves(sharded.opt_state)]
+    assert len(before) == len(after)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    # and the sharded state still steps
+    s2, aux = step(sharded, pmesh.shard_batch(batch, m), jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(aux["Loss"]))
