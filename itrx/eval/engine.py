@@ -222,12 +222,28 @@ def _cal_sims_tiled(
     # only adds dispatch/padding overhead, so the whole grid goes through in
     # one call (bounded only by the output matrix + embeddings in HBM)
     fused_active = getattr(model, "fused_eval_active", None)
+    fused_bytes = ni * nc * 4 * 2  # output matrix + one temp
+    if (
+        fused_active is not None
+        and cap_embs.ndim == 3
+        and getattr(model, "cross_attn", "") == "i2t"
+    ):
+        # the i2t kernel also materializes a block-diagonal caption Gram of
+        # nc_pad*block_c*L^2 elements (xattn.py gram_bd, block_c=16) plus the
+        # fp32 per-caption (L, L) Grams — at coco-testall scale that is the
+        # dominant HBM term, so it must be in the full-grid budget
+        l = cap_embs.shape[1]
+        itemsize = 2 if (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+        ) else 4
+        fused_bytes += nc * 16 * l * l * itemsize + nc * l * l * 4
     if (
         fused_active is not None
         and fused_active(compute_dtype)
-        and mesh is None  # pallas_call does not SPMD-partition under a mesh
+        and mesh is None  # multi-chip fused goes through the shard_map path
         and not isinstance(cap_embs, np.ndarray)
-        and ni * nc * 4 * 2 < (6 << 30)
+        and fused_bytes < (6 << 30)
     ):
         img_tile, cap_tile = ni, nc
     # budget the per-tile attention tensor for token-level similarities:

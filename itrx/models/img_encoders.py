@@ -1,10 +1,10 @@
 """Image encoders over precomputed region features.
 
 Reference: itr/modalmodule/ImgEncoder.py.  `EncoderImageFull` (raw-pixel
-VGG/ResNet, :15-108) is intentionally not rebuilt as a CNN tower: the
-benchmark's published numbers all use precomputed features, and raw-pixel
-VSE++ would be a separate vision stack; the config surface still accepts the
-flag and raises a clear error.
+VGG/ResNet, :15-108) lives in itrx.models.cnn (flax VGG19/ResNet152 towers
+with torchvision state-dict ingestion); the model factory routes to it when
+the dataset is a raw-image one (coco/f8k/f30k).  This module covers the
+precomputed-region-feature encoders the published numbers use.
 """
 
 from __future__ import annotations

@@ -69,9 +69,11 @@ def language_model_loss(logprobs, targets, mask):
     """
     t = logprobs.shape[1]
     targets = targets[:, :t]
-    mask = mask[:, :t].astype(logprobs.dtype)
+    # fp32 reduction even under bf16 training: summing ~B*T bf16 terms
+    # drifts (same upcast-at-the-loss rule as contrastive_hinge)
+    mask = mask[:, :t].astype(jnp.float32)
     nll = -jnp.take_along_axis(logprobs, targets[..., None].astype(jnp.int32), axis=-1)
-    nll = nll[..., 0]
+    nll = nll[..., 0].astype(jnp.float32)
     return jnp.sum(nll * mask) / logprobs.shape[0]
 
 
