@@ -38,32 +38,42 @@ def _pad_to(x, n, axis=0):
 
 
 @functools.lru_cache(maxsize=64)
-def _embed_fn_for(model):
-    """Per-model jitted embed, cached so repeated eval calls don't retrace."""
+def _embed_fn_for(model, mesh=None):
+    """Per-model jitted embed, cached so repeated eval calls don't retrace.
+
+    With a mesh, the batch arrives 'dp'-sharded and the Pallas routing
+    context is active, so the fused kernels run shard_mapped per chip."""
+    from ..ops.pallas import shard_ctx
 
     @jax.jit
     def f(variables, batch):
-        return model.apply(variables, batch, train=False, method="embed")
+        with shard_ctx(mesh):
+            return model.apply(variables, batch, train=False, method="embed")
 
     return f
 
 
 @functools.lru_cache(maxsize=64)
-def _sim_fn_for(model):
+def _sim_fn_for(model, mesh=None):
     """Per-model jitted similarity; variables travel as an argument so one
-    trace serves every (tile, bucket, checkpoint) combination of a shape."""
+    trace serves every (tile, bucket, checkpoint) combination of a shape.
+
+    The Pallas routing context is entered at trace time: with a mesh, the
+    model's fused kernels dispatch through their shard_map wrappers."""
+    from ..ops.pallas import shard_ctx
 
     @jax.jit
     def f(variables, img, cap, mask):
-        return model.apply(
-            variables, img, cap, mask, train=False, method="similarity"
-        )
+        with shard_ctx(mesh):
+            return model.apply(
+                variables, img, cap, mask, train=False, method="similarity"
+            )
 
     return f
 
 
 def encode_data(model, variables, dataset, batch_size: int,
-                offload_threshold_bytes: int = 2 << 30):
+                offload_threshold_bytes: int = 2 << 30, mesh=None):
     """Encode a full split; returns dict of stacked embeddings (+masks).
 
     Mirror of ref encode_data (evaluation.py:75-121).  Embeddings whose full
@@ -71,13 +81,34 @@ def encode_data(model, variables, dataset, batch_size: int,
     caption embeddings, ~6.6GB) are staged to host numpy instead of living on
     HBM; the similarity engine re-uploads them one length-bucket at a time.
     Smaller stacks stay device-resident.
+
+    With a mesh (and a dp-divisible batch size), each eval batch is sharded
+    over 'dp' so encoding parallelizes across chips.
     """
-    embed_fn = _embed_fn_for(model)
+    if mesh is not None and batch_size % mesh.shape.get("dp", 1) != 0:
+        mesh = None
+    embed_fn = _embed_fn_for(model, mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        variables = jax.tree.map(
+            lambda x: jax.device_put(x, rep), variables
+        )
+
+        def place(v):
+            return jax.device_put(jnp.asarray(v), batch_sh)
+
+    else:
+
+        def place(v):
+            return jnp.asarray(v)
 
     outs = []
     for batch in dataset.eval_batches(batch_size):
         n_valid = batch.pop("n_valid")
-        e = embed_fn(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+        e = embed_fn(variables, {k: place(v) for k, v in batch.items()})
         outs.append((e, n_valid))
 
     keys = outs[0][0].keys()
@@ -238,10 +269,15 @@ def _cal_sims_tiled(
             and jnp.dtype(compute_dtype) == jnp.bfloat16
         ) else 4
         fused_bytes += nc * 16 * l * l * itemsize + nc * l * l * 4
+    from ..ops.pallas import shard_ctx
+
+    with shard_ctx(mesh):
+        # the routing context must be active for the decision too: under a
+        # mesh pallas_ok() is True only inside shard_ctx (the model then
+        # dispatches the kernels through their shard_map wrappers)
+        fused_on = fused_active is not None and fused_active(compute_dtype)
     if (
-        fused_active is not None
-        and fused_active(compute_dtype)
-        and mesh is None  # multi-chip fused goes through the shard_map path
+        fused_on
         and not isinstance(cap_embs, np.ndarray)
         and fused_bytes < (6 << 30)
     ):
@@ -293,7 +329,7 @@ def _cal_sims_tiled(
         def place(img_t, cap_t, mask_t):
             return img_t, cap_t, mask_t
 
-    _sim = _sim_fn_for(model)
+    _sim = _sim_fn_for(model, mesh)
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def sim_fn(img, cap, mask):
@@ -333,7 +369,7 @@ def _cal_sims_tiled(
 
 def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=None):
     """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
-    enc = encode_data(model, variables, dataset, config["batch_size"])
+    enc = encode_data(model, variables, dataset, config["batch_size"], mesh=mesh)
     img_embs = enc["img"]
     cap_embs = enc["cap"]
     cap_mask = enc.get("cap_mask")

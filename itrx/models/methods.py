@@ -156,15 +156,25 @@ class SCAN(nn.Module):
 
     def similarity(self, img, cap, cap_mask, train: bool = False):
         if not train and self.fused_eval_active(img.dtype):
-            from ..ops.pallas.xattn import xattn_i2t_fused, xattn_t2i_fused
+            from ..ops.pallas import shard_mesh
 
-            fused = xattn_t2i_fused if self.cross_attn == "t2i" else xattn_i2t_fused
-            return fused(
-                img, cap, cap_mask,
+            kw = dict(
                 lambda_lse=self.lambda_lse,
                 lambda_softmax=self.lambda_softmax,
                 agg_func=self.agg_func,
             )
+            mesh = shard_mesh()
+            if mesh is not None:
+                # multi-chip: captions sharded over 'dp', one kernel per chip
+                from ..ops.pallas.xattn import xattn_fused_sharded
+
+                return xattn_fused_sharded(
+                    img, cap, cap_mask, mesh, cross_attn=self.cross_attn, **kw
+                )
+            from ..ops.pallas.xattn import xattn_i2t_fused, xattn_t2i_fused
+
+            fused = xattn_t2i_fused if self.cross_attn == "t2i" else xattn_i2t_fused
+            return fused(img, cap, cap_mask, **kw)
         fn = (
             attention.xattn_score_t2i
             if self.cross_attn == "t2i"

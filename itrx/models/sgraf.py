@@ -174,11 +174,12 @@ class _ChunkScorer(nn.Module):
             # dots, word-norm, region softmax, context, squared diff,
             # projection, l2norm — runs in VMEM per (caption-block, image)
             # with a custom VJP; the (C, Ni, L, D) context tensor and its
-            # layout copies never touch HBM (itrx/ops/pallas/sgraf_align.py)
-            from ..ops.pallas.sgraf_align import sgraf_align
+            # layout copies never touch HBM (itrx/ops/pallas/sgraf_align.py).
+            # Under a mesh the kernel shard_maps over the image axis.
+            from ..ops.pallas.sgraf_align import sgraf_align_auto
 
             w, bb = loc_proj(d, params_only=True)
-            sim_loc = sgraf_align(cap_c, mask_c, img_emb, w, bb).reshape(
+            sim_loc = sgraf_align_auto(cap_c, mask_c, img_emb, w, bb).reshape(
                 c * ni, -1, self.sim_dim
             )
         else:

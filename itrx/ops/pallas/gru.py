@@ -236,13 +236,23 @@ _gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
 
 
 def gru_scan_fused(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
-                   interpret: bool = False, dot_dtype: str = "bfloat16"):
+                   interpret: bool | None = None,
+                   dot_dtype: str | None = None):
     """Drop-in replacement for itrx.ops.rnn.gru_scan on TPU.
 
     x (B, L, D); mask (B, L); weights in torch.nn.GRU layout (w_ih (3H, D),
     w_hh (3H, H), gate order [r|z|n]).  Returns (outputs (B, L, H) zeroed at
     padded steps, final_h (B, H) at each sequence's last valid step).
+    dot_dtype defaults to bf16 (the TPU production mode) unless the routing
+    context overrides it.
     """
+    from . import dot_dtype_override, interpret_mode, record_dispatch
+
+    if interpret is None:
+        interpret = interpret_mode()
+    if dot_dtype is None:
+        dot_dtype = dot_dtype_override() or "bfloat16"
+    record_dispatch("gru_fused")
     B, L, _ = x.shape
     gates_x = (x @ w_ih.T + b_ih).astype(jnp.float32)  # one big MXU matmul
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (L, B, 3H)
@@ -250,3 +260,41 @@ def gru_scan_fused(x, mask, w_ih, w_hh, b_ih, b_hh, reverse: bool = False,
     outs, final = _gru_seq(gates_x, m, w_hh, b_hh, reverse, interpret,
                            dot_dtype)
     return jnp.swapaxes(outs, 0, 1).astype(x.dtype), final.astype(x.dtype)
+
+
+def gru_scan_fused_sharded(x, mask, w_ih, w_hh, b_ih, b_hh, mesh,
+                           reverse: bool = False,
+                           interpret: bool | None = None,
+                           dot_dtype: str | None = None):
+    """Fused GRU under a mesh: shard_map over the batch on the 'dp' axis.
+
+    Each device runs the kernel (input projection included — a local MXU
+    matmul) on its batch shard; weights are replicated, and the custom-VJP
+    backward's weight/bias cotangents are psummed over 'dp' by the
+    shard_map transpose (check_vma=False inserts the conservative psums).
+    The batch is padded to a 'dp' multiple; all-zero-mask padded rows keep
+    the zero carry and are sliced off.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from . import record_dispatch
+
+    record_dispatch("gru_fused_sharded")
+    ndp = mesh.shape["dp"]
+    b = x.shape[0]
+    bp = ((b + ndp - 1) // ndp) * ndp
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, bp - b), (0, 0)))
+    f = functools.partial(
+        gru_scan_fused, reverse=reverse, interpret=interpret,
+        dot_dtype=dot_dtype,
+    )
+    outs, final = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), P(), P()),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )(x, mask, w_ih, w_hh, b_ih, b_hh)
+    return outs[:b], final[:b]

@@ -276,3 +276,43 @@ def _align_vjp_bwd(block_c, interpret, res, g):
 
 
 sgraf_align.defvjp(_align_vjp_fwd, _align_vjp_bwd)
+
+
+def sgraf_align_auto(cap, mask, img, w, b, block_c: int = 8):
+    """Routing entry for the fused alignment: resolves interpret mode from
+    the context and shard_maps over images when a mesh is active.
+
+    The grid's image axis is embarrassingly parallel: under a mesh each
+    device runs the kernel for its image shard against the (replicated)
+    caption chunk, producing the (Nc, Ni, L, S) alignment tensor sharded on
+    axis 1.  The custom-VJP backward stays per-shard (gimg is local; gcap
+    and gw/gb cotangents are psummed by the shard_map transpose,
+    check_vma=False).  Images are zero-padded to a 'dp' multiple — the
+    chain stays finite on zero regions and the padded outputs are sliced.
+    """
+    from . import interpret_mode, record_dispatch, shard_mesh
+
+    interpret = interpret_mode()
+    mesh = shard_mesh()
+    if mesh is None:
+        record_dispatch("sgraf_align")
+        return sgraf_align(cap, mask, img, w, b, block_c, interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    record_dispatch("sgraf_align_sharded")
+    ndp = mesh.shape["dp"]
+    ni = img.shape[0]
+    ni_pad = ((ni + ndp - 1) // ndp) * ndp
+    if ni_pad != ni:
+        img = jnp.pad(img, ((0, ni_pad - ni), (0, 0), (0, 0)))
+
+    out = jax.shard_map(
+        lambda c_, m_, i_, w_, b_: sgraf_align(c_, m_, i_, w_, b_,
+                                               block_c, interpret),
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P(), P()),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )(cap, mask, img, w, b)
+    return out[:, :ni]

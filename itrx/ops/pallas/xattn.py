@@ -118,7 +118,7 @@ def _kernel(
     static_argnames=("lambda_lse", "lambda_softmax", "agg_func", "block_i",
                      "block_c", "interpret"),
 )
-def xattn_t2i_fused(
+def _xattn_t2i_fused_impl(
     images,
     captions,
     cap_mask,
@@ -304,7 +304,7 @@ def _kernel_i2t(
     static_argnames=("lambda_lse", "lambda_softmax", "agg_func", "block_i",
                      "block_c", "interpret"),
 )
-def xattn_i2t_fused(
+def _xattn_i2t_fused_impl(
     images,
     captions,
     cap_mask,
@@ -410,3 +410,64 @@ def xattn_i2t_fused(
 
     out = jnp.transpose(out, (1, 0, 2)).reshape(ni_pad, nc_pad)
     return out[:ni, :nc]
+
+
+def xattn_t2i_fused(images, captions, cap_mask, *, interpret=None, **kw):
+    """Public entry: resolves interpret mode from the routing context and
+    records the dispatch; see _xattn_t2i_fused_impl for semantics."""
+    from . import interpret_mode, record_dispatch
+
+    if interpret is None:
+        interpret = interpret_mode()
+    record_dispatch("xattn_t2i_fused")
+    return _xattn_t2i_fused_impl(
+        images, captions, cap_mask, interpret=interpret, **kw
+    )
+
+
+def xattn_i2t_fused(images, captions, cap_mask, *, interpret=None, **kw):
+    """Public entry: resolves interpret mode from the routing context and
+    records the dispatch; see _xattn_i2t_fused_impl for semantics."""
+    from . import interpret_mode, record_dispatch
+
+    if interpret is None:
+        interpret = interpret_mode()
+    record_dispatch("xattn_i2t_fused")
+    return _xattn_i2t_fused_impl(
+        images, captions, cap_mask, interpret=interpret, **kw
+    )
+
+
+def xattn_fused_sharded(images, captions, cap_mask, mesh, *,
+                        cross_attn: str = "t2i", **kw):
+    """Fused SCAN eval scores under a mesh: captions sharded over 'dp'.
+
+    The (Ni, Nc) grid is embarrassingly caption-parallel: each device streams
+    the kernel over its caption shard against the replicated images, and the
+    output comes back column-sharded (consumers gather lazily).  Captions are
+    padded to a 'dp' multiple; padded rows get one valid token (keeps the
+    kernels' normalizers finite) and are sliced off.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from . import record_dispatch
+
+    record_dispatch("xattn_fused_sharded")
+    ndp = mesh.shape["dp"]
+    nc = captions.shape[0]
+    nc_pad = ((nc + ndp - 1) // ndp) * ndp
+    if nc_pad != nc:
+        captions = jnp.pad(captions, ((0, nc_pad - nc), (0, 0), (0, 0)))
+        cap_mask = jnp.pad(cap_mask, ((0, nc_pad - nc), (0, 0)))
+        cap_mask = cap_mask.at[nc:, 0].set(1.0)
+
+    fused = xattn_t2i_fused if cross_attn == "t2i" else xattn_i2t_fused
+    f = functools.partial(fused, **kw)
+    out = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )(images, captions, cap_mask)
+    return out[:, :nc]

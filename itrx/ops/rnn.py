@@ -95,7 +95,7 @@ class MaskedGRU(nn.Module):
     use_fused: bool = True
 
     def _scan(self, x, mask, w_ih, w_hh, b_ih, b_hh, reverse=False):
-        from .pallas import pallas_ok
+        from .pallas import pallas_ok, shard_mesh
 
         if (
             self.use_fused
@@ -106,6 +106,13 @@ class MaskedGRU(nn.Module):
             and self.hidden_size <= 1024
             and pallas_ok()
         ):
+            mesh = shard_mesh()
+            if mesh is not None:
+                from .pallas.gru import gru_scan_fused_sharded
+
+                return gru_scan_fused_sharded(
+                    x, mask, w_ih, w_hh, b_ih, b_hh, mesh, reverse=reverse
+                )
             from .pallas.gru import gru_scan_fused
 
             return gru_scan_fused(x, mask, w_ih, w_hh, b_ih, b_hh,

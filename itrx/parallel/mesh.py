@@ -141,9 +141,12 @@ def sharded_similarity(model, variables, img_embs, cap_embs, cap_mask, mesh):
     img_r = jax.device_put(img_embs, replicated(mesh))
     variables = replicate_tree(variables, mesh)
 
+    from ..ops.pallas import shard_ctx
+
     @jax.jit
     def f(v, img, cap, mask):
-        return model.apply(v, img, cap, mask, train=False, method="similarity")
+        with shard_ctx(mesh):
+            return model.apply(v, img, cap, mask, train=False, method="similarity")
 
     sims = f(variables, img_r, cap_p, mask_p)
     return sims[:, :nc]

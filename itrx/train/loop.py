@@ -27,12 +27,18 @@ from .state import TrainState, create_train_state
 logger = logging.getLogger("itrx")
 
 
-def make_train_step(model, tx, compute_dtype=None):
+def make_train_step(model, tx, compute_dtype=None, mesh=None):
     """compute_dtype='bfloat16' runs the forward/backward in bf16 mixed
     precision: fp32 master params/opt-state/batch-stats, params and float
     batch fields cast at the loss boundary (the cast transpose accumulates
     gradients back in fp32), fp32 loss reductions (itrx.ops.losses upcast
-    their score inputs)."""
+    their score inputs).
+
+    `mesh` activates the Pallas routing context at trace time: the fused
+    kernels (masked GRU, SGRAF alignment) dispatch through their shard_map
+    wrappers over the mesh's 'dp' axis instead of falling back to XLA."""
+    from ..ops.pallas import shard_ctx
+
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
 
     def _cast(tree):
@@ -45,7 +51,7 @@ def make_train_step(model, tx, compute_dtype=None):
 
     # donate the state so params/opt buffers update in place on device
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch, rng, epoch):
+    def _step(state: TrainState, batch, rng, epoch):
         def loss_fn(params):
             b = batch
             if cdt is not None:
@@ -88,6 +94,13 @@ def make_train_step(model, tx, compute_dtype=None):
             step=state.step + 1,
         )
         return new_state, aux
+
+    def step(state, batch, rng, epoch):
+        # the routing context must be live while jit traces (that is when
+        # the kernel call sites read it); cached executions pay only a
+        # thread-local set/reset
+        with shard_ctx(mesh):
+            return _step(state, batch, rng, epoch)
 
     return step
 
@@ -161,6 +174,7 @@ def train_epoch(
     step_fn = step_fn or make_train_step(
         model, tx,
         compute_dtype="bfloat16" if config.get("train_bf16") else None,
+        mesh=mesh,
     )
     rng = jax.random.PRNGKey(config["seed"] * 100003 + epoch)
 
@@ -321,6 +335,7 @@ def fit(config, train_dataset=None, val_dataset=None):
     step_fn = make_train_step(
         model, tx,
         compute_dtype="bfloat16" if config.get("train_bf16") else None,
+        mesh=mesh,
     )
     for epoch in range(start_epoch, config["num_epochs"]):
         state, best_rsum, best_r1 = train_epoch(
