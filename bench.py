@@ -2,13 +2,18 @@
 """Benchmark: Flickr30k-1K-scale evaluation throughput on the current chip.
 
 Headline metric (BASELINE.json): eval pairs/sec/chip on the f30k 1K-test
-similarity matrix (1000 images x 5000 captions).  The workload is the
-north-star SCAN t2i stacked cross-attention (36 regions x words x 1024-d, the
-reference's per-caption Python-looped bmm hot path, Objectives.py:329-372)
-run through the production eval engine (length-bucketed device-resident
-tiles) plus the on-device R@K ranking — i.e. the full `validate_step` compute
-after encoding.  Caption lengths follow the realistic f30k distribution
-(mean ~14 words, padded to 48).
+similarity matrix (1000 images x 5000 captions).  Since round 3 the workload
+runs the PRODUCTION surface end-to-end (round-2 verdict item 5): a real SCAN
+model from `itrx.models.get_model` at reference widths (36 regions x 1024-d,
+t2i stacked cross-attention — the reference's per-caption Python-looped bmm
+hot path, Objectives.py:329-372), synthetic f30k-scale precomp data through
+`itrx.data.precomp.PrecompDataset` + `engine.encode_data`, similarity +
+R@K ranking through the same `engine.cal_sims` + `metrics.cal_recall` body
+`evaluate_split` runs with `eval_bf16=True` — so the number exercises the
+factory defaults and fused-kernel routing that `test.py` users get.
+
+The timed section is sims + ranking (the BASELINE's "<10s per method"
+clock); encode time is reported separately in `detail`.
 
 Baseline normalization: BASELINE.json targets "<10s per method on a v5e-8"
 => 5e6 pairs / 10 s / 8 chips = 62,500 pairs/sec/chip.  vs_baseline is the
@@ -22,83 +27,102 @@ inputs are perturbed between runs so no layer can serve a cached result.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+BENCH_DIR = "/tmp/itrx_bench/f30k_precomp"
 
-class _ScanSim:
-    """similarity-only shim for engine.cal_sims, mirroring SCAN.similarity's
-    production routing: fused Pallas kernel for bf16 tiles, XLA for fp32."""
 
-    def fused_eval_active(self, compute_dtype):
-        import jax.numpy as jnp
+def _ensure_data():
+    """Synthetic f30k-scale precomp split (cached across runs)."""
+    from itrx.data.synthetic import generate
 
-        from itrx.ops.pallas import pallas_ok
-
-        return (
-            compute_dtype is not None
-            and jnp.dtype(compute_dtype) == jnp.bfloat16
-            and pallas_ok()
-        )
-
-    def apply(self, variables, img, cap, mask, train=False, method="similarity"):
-        import jax.numpy as jnp
-
-        if img.dtype == jnp.bfloat16:
-            from itrx.ops.pallas.xattn import xattn_t2i_fused
-
-            return xattn_t2i_fused(img, cap, mask)
-        from itrx.ops import attention
-
-        return attention.xattn_score_t2i(img, cap, mask)
+    marker = os.path.join(BENCH_DIR, ".bench_v3")
+    if os.path.exists(marker):
+        return
+    # vocab source (small) + the 1000-image / 5000-caption test split with a
+    # realistic caption-length distribution (~14 tokens mean, like f30k)
+    generate(BENCH_DIR, n_images=64, img_dim=2048, splits=("train",),
+             seed=0, n_concepts_range=(2, 10))
+    generate(BENCH_DIR, n_images=4000, img_dim=2048, splits=("test",),
+             seed=0, n_concepts_range=(2, 10))
+    open(marker, "w").write("ok\n")
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from itrx.configs import parse_cli
+    from itrx.data.precomp import get_test_loader
     from itrx.eval import engine, metrics
+    from itrx.models import get_model
 
-    NI, NC, R, L, D = 1000, 5000, 36, 48, 1024
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((NI, R, D)).astype(np.float32))
-    lengths = np.clip(rng.normal(14, 6, NC).astype(int), 4, L)
-    mask = jnp.asarray(
-        (np.arange(L)[None] < lengths[:, None]).astype(np.float32)
+    _ensure_data()
+    cfg = parse_cli(
+        [
+            "with", "SCAN",
+            "data_name=f30k_precomp",
+            f"data_path={os.path.dirname(BENCH_DIR)}",
+            f"vocab_path={os.path.join(os.path.dirname(BENCH_DIR), 'vocab')}",
+            "vocab_type=json", "batch_size=128", "eval_bf16=True", "seed=0",
+        ],
+        make_dirs=False,
     )
-    cap = (
-        jnp.asarray(rng.standard_normal((NC, L, D)).astype(np.float32))
-        * mask[:, :, None]
-    )
-    model = _ScanSim()
+    dataset, vocab_size = get_test_loader("test", cfg)
+    cfg["vocab_size"] = vocab_size
+    model = get_model(cfg)
 
-    def full_eval(img_in, dtype=None):
+    sample = dataset.gather(np.arange(cfg["batch_size"]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {k: jnp.asarray(v) for k, v in sample.items()},
+        train=False,
+    )
+
+    # first pass compiles the embed fn (~100s on the relay); the reported
+    # encode time is the warm second pass (host->device feature upload bound
+    # under the axon tunnel: ~1.5GB of fp32 region features)
+    engine.encode_data(model, variables, dataset, cfg["batch_size"])
+    t_enc0 = time.perf_counter()
+    enc = engine.encode_data(model, variables, dataset, cfg["batch_size"])
+    img_embs, cap_embs, cap_mask = enc["img"], enc["cap"], enc["cap_mask"]
+    imgs = img_embs[:: dataset.im_div]
+    np.asarray(imgs[-1])  # host transfer = encode barrier
+    t_enc = time.perf_counter() - t_enc0
+    ni, nc = imgs.shape[0], cap_embs.shape[0]
+
+    def full_eval(img_in, dtype):
+        # the exact scoring body of engine.evaluate_split (engine.py:380-393)
         sims = engine.cal_sims(
-            model, {}, img_in, cap, mask,
-            img_tile=250, cap_tile=1000, verbose=False, length_buckets=4,
+            model, variables, img_in, cap_embs, cap_mask,
+            img_tile=cfg.get("eval_img_tile", 256),
+            cap_tile=cfg.get("eval_cap_tile", 1024),
+            verbose=False,
             compute_dtype=dtype,
         )
-        ri = metrics.i2t_ranks(sims)
-        rt = metrics.t2i_ranks(sims)
-        return np.asarray(ri), np.asarray(rt)
+        return metrics.cal_recall(
+            sims, cap_ratio=dataset.im_div, verbose=False
+        )
 
     def timed(dtype):
-        full_eval(img, dtype)  # warmup/compile
+        res = full_eval(imgs, dtype)  # warmup/compile
         times = []
         for k in range(3):
-            img_k = img * (1.0 + 1e-6 * (k + 1))
+            img_k = imgs * (1.0 + 1e-6 * (k + 1))
             t0 = time.perf_counter()
             full_eval(img_k, dtype)
             times.append(time.perf_counter() - t0)
-        return min(times)
+        return min(times), res
 
-    # production path: bf16 embeddings, fp32 accumulation (eval_bf16 flag;
+    # production path: eval_bf16 (bf16 embeddings, fp32 accumulation;
     # recall parity asserted in tests/test_bf16_eval.py)
-    t = timed("bfloat16")
-    t_fp32 = timed(None)
+    t, res = timed("bfloat16")
+    t_fp32, _ = timed(None)
 
-    pairs_per_sec = NI * NC / t
+    pairs_per_sec = ni * nc / t
     baseline = 62500.0
     print(
         json.dumps(
@@ -108,10 +132,16 @@ def main():
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(pairs_per_sec / baseline, 3),
                 "detail": {
-                    "workload": "f30k-1K SCAN t2i xattn sim matrix + R@K ranking (length-bucketed engine, bf16 embeddings / fp32 accum)",
+                    "workload": (
+                        "f30k-1K SCAN t2i eval through the production stack "
+                        "(get_model + encode_data + cal_sims + cal_recall, "
+                        "eval_bf16, length-bucketed engine / fused kernels)"
+                    ),
                     "eval_seconds": round(t, 3),
                     "eval_seconds_fp32": round(t_fp32, 3),
-                    "shape": [NI, NC, R, L, D],
+                    "encode_seconds": round(t_enc, 3),
+                    "rsum_bf16": round(float(res["rsum"]), 1),
+                    "shape": [ni, nc, 36, int(cap_embs.shape[1]), 1024],
                 },
             }
         )

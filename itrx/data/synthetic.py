@@ -30,7 +30,11 @@ def generate(
     n_concepts_per_image: int = 3,
     splits=("train", "dev", "test"),
     seed: int = 0,
+    n_concepts_range=None,
 ):
+    """n_concepts_range=(lo, hi) draws a per-image concept count uniformly,
+    giving a realistic caption-length distribution (bench.py uses (2, 10)
+    for f30k-like ~14-token captions); None keeps the fixed count."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     k = len(_WORDS)
@@ -39,13 +43,18 @@ def generate(
     for si, split in enumerate(splits):
         n = n_images if split == "train" else max(8, n_images // 4)
         srng = np.random.default_rng(seed + 100 + si)
-        concepts = np.stack(
-            [srng.choice(k, size=n_concepts_per_image, replace=False) for _ in range(n)]
-        )
+        if n_concepts_range is not None:
+            lo, hi = n_concepts_range
+            counts = srng.integers(lo, min(hi, k) + 1, size=n)
+        else:
+            counts = np.full(n, n_concepts_per_image)
+        concepts = [
+            srng.choice(k, size=int(counts[i]), replace=False) for i in range(n)
+        ]
         ims = np.zeros((n, n_regions, img_dim), np.float32)
         for i in range(n):
             for r in range(n_regions):
-                c = concepts[i, r % n_concepts_per_image]
+                c = concepts[i][r % len(concepts[i])]
                 ims[i, r] = basis[c] + 0.3 * srng.standard_normal(img_dim)
         np.save(os.path.join(out_dir, f"{split}_ims.npy"), ims)
 

@@ -75,6 +75,7 @@ def get_model(config: dict):
             cap_chunk=config.get("cap_chunk", 32),
             sim_bf16=config.get("sim_bf16", False),
             sim_remat=config.get("sim_remat", True),
+            dropout=config.get("sgraf_dropout", 0.4),
         )
     if name == "SAEM":
         from .bert_methods import build_saem

@@ -14,7 +14,13 @@ import flax.linen as nn
 
 from ..ops.norms import l2norm
 from ..ops.rnn import MaskedGRU
-from .layers import TorchBatchNorm, TorchLinear, WeightNormLinear, XavierLinear
+from .layers import (
+    TorchBatchNorm,
+    TorchBatchNormCore,
+    TorchLinear,
+    WeightNormLinear,
+    XavierLinear,
+)
 
 
 class EncoderImagePrecomp(nn.Module):
@@ -67,10 +73,8 @@ class RsGCN(nn.Module):
         y = jnp.einsum("bnm,bmc->bnc", r, g_v)
         w_y = TorchLinear(v.shape[-1], name="W")(y)
         # ref zero-inits the BN scale and bias so the block starts as identity
-        w_y = nn.BatchNorm(
+        w_y = TorchBatchNormCore(
             use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
             scale_init=nn.initializers.zeros,
             name="W_bn",
         )(w_y)

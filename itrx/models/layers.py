@@ -9,6 +9,9 @@ training dynamics comparable seed-for-seed.
 
 from __future__ import annotations
 
+from typing import Any
+
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax import random
@@ -104,11 +107,70 @@ class WeightNormLinear(nn.Module):
         return x @ kernel + bias
 
 
+class TorchBatchNormCore(nn.Module):
+    """BatchNorm with torch-exact semantics (torch _BatchNorm defaults).
+
+    Differences from flax nn.BatchNorm that matter for reference parity:
+    torch normalizes with the *biased* batch variance but updates
+    running_var with the *unbiased* one (factor n/(n-1), n = elements
+    pooled per channel); flax uses the biased variance for both, so eval
+    behavior after training drifts.  Verified by the training-trajectory
+    parity suite (tests/test_ref_trajectory.py, batch_stats assertions).
+
+    eps=1e-5, momentum=0.1 (torch convention: new = 0.9*old + 0.1*batch).
+    Stats are computed in fp32 regardless of input dtype (matches the
+    mixed-precision train step, which keeps master batch_stats in fp32).
+    """
+
+    use_running_average: bool
+    axis: int = -1
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x):
+        feat_ax = self.axis % x.ndim
+        reduce_axes = tuple(i for i in range(x.ndim) if i != feat_ax)
+        c = x.shape[feat_ax]
+        bshape = tuple(c if i == feat_ax else 1 for i in range(x.ndim))
+        scale = self.param("scale", self.scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (c,)
+        )
+        if self.use_running_average:
+            mean = jnp.asarray(ra_mean.value, jnp.float32)
+            var = jnp.asarray(ra_var.value, jnp.float32)
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size / c
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (
+                    0.9 * jnp.asarray(ra_mean.value, jnp.float32) + 0.1 * mean
+                ).astype(jnp.asarray(ra_mean.value).dtype)
+                ra_var.value = (
+                    0.9 * jnp.asarray(ra_var.value, jnp.float32)
+                    + 0.1 * unbiased
+                ).astype(jnp.asarray(ra_var.value).dtype)
+        inv = jax.lax.rsqrt(var + 1e-5).astype(x.dtype)
+        mean = mean.astype(x.dtype)
+        return (x - mean.reshape(bshape)) * (
+            inv * scale.astype(x.dtype)
+        ).reshape(bshape) + bias.astype(x.dtype).reshape(bshape)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm matching torch defaults: eps=1e-5, momentum 0.1 (flax 0.9).
 
     `axis` is the feature axis (set axis=1 for torch BatchNorm1d on (N, C, L)
-    inputs, where stats pool over (N, L) per channel).
+    inputs, where stats pool over (N, L) per channel).  The inner core keeps
+    the historical `BatchNorm_0` scope name so existing checkpoints and the
+    reference converter keep loading unchanged.
     """
 
     use_running_average: bool
@@ -116,11 +178,10 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        return TorchBatchNormCore(
             use_running_average=self.use_running_average,
             axis=self.axis,
-            momentum=0.9,
-            epsilon=1e-5,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -303,6 +303,10 @@ class SGRAF(nn.Module):
     cap_chunk: int = 32
     sim_bf16: bool = False
     sim_remat: bool = True
+    # the reference hardcodes 0.4 everywhere (Models.py:481, Fusionmodule.py
+    # :477-480, :527-529); config key `sgraf_dropout` exists so deterministic
+    # parity runs can zero it
+    dropout: float = 0.4
 
     def setup(self):
         self.img_enc = EncoderImagePrecomp(
@@ -316,7 +320,7 @@ class SGRAF(nn.Module):
             embed_size=self.embed_size,
             use_bi_gru=self.bi_gru,
             no_txtnorm=self.no_txtnorm,
-            dropout=0.4,
+            dropout=self.dropout,
         )
         self.sim_enc = EncoderSimilarity(
             embed_size=self.embed_size,
@@ -326,6 +330,7 @@ class SGRAF(nn.Module):
             cap_chunk=self.cap_chunk,
             compute_dtype="bfloat16" if self.sim_bf16 else None,
             remat=self.sim_remat,
+            sa_dropout=self.dropout,
         )
 
     def embed(self, batch, train: bool = False):

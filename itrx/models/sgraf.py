@@ -97,22 +97,100 @@ class GraphReasoning(nn.Module):
         return nn.relu(XavierLinear(self.sim_dim, name="graph_w")(sgr))
 
 
+class _SAFBatchNorm(nn.Module):
+    """Per-caption BatchNorm1d(1) matching the reference's SAF semantics.
+
+    The reference scores captions one at a time (Fusionmodule.py:406-451),
+    so its SAF BatchNorm1d(1) (:608, :620) computes TRAIN-mode stats over
+    one caption's (Ni, L_i+1) valid nodes and updates the running stats
+    once per caption, caption-sequentially.  Here the chunk arrives batched
+    as (C, Ni, N) + node mask; train mode reproduces the per-caption stats
+    with masked reductions and folds the C sequential running-stat updates
+    into closed form: r' = 0.9^C r + sum_i 0.1 * 0.9^(C-1-i) * stat_i.
+    Unbiased variance (factor n/(n-1)) feeds the running update, biased
+    normalizes — torch _BatchNorm semantics.  Eval mode uses the running
+    stats exactly as before.  Scope keeps the historical bn/BatchNorm_0
+    naming so checkpoints and the reference converter load unchanged.
+    """
+
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x, mask: (C, Ni, N); one BN channel
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (1,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (1,)
+        )
+        if not self.train:
+            mean = jnp.asarray(ra_mean.value, jnp.float32)[0]
+            var = jnp.asarray(ra_var.value, jnp.float32)[0]
+            inv = jax.lax.rsqrt(var + 1e-5).astype(x.dtype)
+            return (x - mean.astype(x.dtype)) * inv * scale.astype(x.dtype)[
+                0
+            ] + bias.astype(x.dtype)[0]
+
+        xf = x.astype(jnp.float32)
+        mf = mask.astype(jnp.float32)
+        cnt = jnp.sum(mf, axis=(1, 2))  # (C,) valid nodes per caption
+        mean_c = jnp.sum(xf * mf, axis=(1, 2)) / cnt
+        var_c = (
+            jnp.sum(jnp.square(xf) * mf, axis=(1, 2)) / cnt
+            - jnp.square(mean_c)
+        )
+        if not self.is_initializing():
+            c = x.shape[0]
+            unbiased = var_c * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+            w = 0.1 * jnp.power(0.9, (c - 1.0) - jnp.arange(c, dtype=jnp.float32))
+            decay = 0.9**c
+            ra_mean.value = (
+                decay * jnp.asarray(ra_mean.value, jnp.float32)
+                + jnp.sum(w * mean_c)[None]
+            ).astype(jnp.asarray(ra_mean.value).dtype)
+            ra_var.value = (
+                decay * jnp.asarray(ra_var.value, jnp.float32)
+                + jnp.sum(w * unbiased)[None]
+            ).astype(jnp.asarray(ra_var.value).dtype)
+        inv = jax.lax.rsqrt(var_c + 1e-5).astype(x.dtype)[:, None, None]
+        mean_b = mean_c.astype(x.dtype)[:, None, None]
+        return (x - mean_b) * inv * scale.astype(x.dtype)[0] + bias.astype(
+            x.dtype
+        )[0]
+
+
+class _SAFBNScope(nn.Module):
+    """Scope shim keeping the historical bn/BatchNorm_0 parameter paths."""
+
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        return _SAFBatchNorm(train=self.train, name="BatchNorm_0")(x, mask)
+
+
 class AttentionFiltration(nn.Module):
     """SAF: gated L1-norm attention pooling over nodes (ref :600-629).
 
-    The reference's BatchNorm1d(1) has a single channel with stats over
-    (batch, nodes); replicated by flattening to (B*N, 1) features.
+    The single-channel BatchNorm follows the reference's per-caption
+    semantics in train mode (see _SAFBatchNorm); rows arrive grouped by
+    caption, `cap_rows` captions per chunk.
     """
 
     sim_dim: int
     train: bool = False
+    cap_rows: int = 1
 
     @nn.compact
     def __call__(self, sim_emb, node_mask):
         b, n, _ = sim_emb.shape
+        c = self.cap_rows
         attn = XavierLinear(1, name="attn_w")(sim_emb)[..., 0]  # (B, N)
-        attn = TorchBatchNorm(use_running_average=not self.train, name="bn")(
-            attn.reshape(b * n, 1)
+        attn = _SAFBNScope(train=self.train, name="bn")(
+            attn.reshape(c, b // c, n), node_mask.reshape(c, b // c, n)
         ).reshape(b, n)
         attn = jax.nn.sigmoid(attn) * node_mask
         attn = l1norm(attn, axis=-1)
@@ -221,9 +299,9 @@ class _ChunkScorer(nn.Module):
                 )
             sim_vec = sim_emb[:, 0, :]
         elif self.module_name == "SAF":
-            sim_vec = AttentionFiltration(self.sim_dim, train=self.train, name="SAF")(
-                sim_emb, node_mask
-            )
+            sim_vec = AttentionFiltration(
+                self.sim_dim, train=self.train, cap_rows=c, name="SAF"
+            )(sim_emb, node_mask)
         else:
             raise ValueError("Invalid module_name (SGR|SAF)")
         sim_i = jax.nn.sigmoid(
@@ -246,6 +324,7 @@ class EncoderSimilarity(nn.Module):
     cap_chunk: int = 32
     compute_dtype: str | None = None
     remat: bool = True
+    sa_dropout: float = 0.4  # ref hardcodes 0.4 (Fusionmodule.py:477,527)
 
     @nn.compact
     def __call__(self, img_emb, cap_emb, cap_mask, train: bool = False):
@@ -253,15 +332,15 @@ class EncoderSimilarity(nn.Module):
         nc = cap_emb.shape[0]
 
         img_ave = jnp.mean(img_emb, axis=1)
-        img_glo = VisualSA(self.embed_size, name="v_global_w")(
-            img_emb, img_ave, train=train
-        )
+        img_glo = VisualSA(
+            self.embed_size, dropout_rate=self.sa_dropout, name="v_global_w"
+        )(img_emb, img_ave, train=train)
 
         denom = jnp.maximum(jnp.sum(cap_mask, axis=1, keepdims=True), 1.0)
         cap_ave = jnp.sum(cap_emb * cap_mask[..., None], axis=1) / denom
-        cap_glo = TextSA(self.embed_size, name="t_global_w")(
-            cap_emb, cap_ave, cap_mask, train=train
-        )
+        cap_glo = TextSA(
+            self.embed_size, dropout_rate=self.sa_dropout, name="t_global_w"
+        )(cap_emb, cap_ave, cap_mask, train=train)
 
         scorer_cls = nn.remat(_ChunkScorer) if (train and self.remat) else _ChunkScorer
         scorer = scorer_cls(

@@ -308,6 +308,32 @@ def convert_sgraf_sim(sd, module_name: str = "SGR") -> dict:
     return _finish(c, "EncoderSimilarity", out)
 
 
+def convert_vsrn_caption(sd) -> dict:
+    """VSRN caption model (ref Fusionmodule.py: EncoderRNN :149-203,
+    Attention :112-146, DecoderRNN :206-367).
+
+    The reference never checkpoints this module (base_module.state_dict
+    covers img_enc/txt_enc only, Models.py:37-40), so normal checkpoint
+    conversion skips it; the training-trajectory parity tests pass
+    `caption_model.state_dict()` explicitly to align the caption-loss path.
+    """
+    c = _Consumer(sd)
+    out = {}
+    enc = ("params", "caption_model", "encoder")
+    _lin(c, "encoder.vid2hid", out, *enc, "vid2hid")
+    _gru(c, "encoder.rnn", out, *enc, "rnn")
+    dec = ("params", "caption_model", "decoder")
+    out[dec + ("embedding",)] = c.take("decoder.embedding.weight")
+    # additive attention: linear1 (2H->H), linear2 (H->1, no bias)
+    out[dec + ("att_w1",)] = c.take("decoder.attention.linear1.weight").T
+    out[dec + ("att_b1",)] = c.take("decoder.attention.linear1.bias")
+    out[dec + ("att_w2",)] = c.take("decoder.attention.linear2.weight").T
+    _gru(c, "decoder.rnn", out, *dec)
+    out[dec + ("out_w",)] = c.take("decoder.out.weight").T
+    out[dec + ("out_b",)] = c.take("decoder.out.bias")
+    return _finish(c, "VSRN caption model", out)
+
+
 # ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
@@ -333,7 +359,11 @@ def convert_state_list(name: str, state_list, config: dict) -> dict:
         )
         out.update(convert_text_gru(state_list[1]))
         # the reference does NOT checkpoint the caption decoder
-        # (state_dict covers img_enc/txt_enc only, Models.py:37-40)
+        # (state_dict covers img_enc/txt_enc only, Models.py:37-40); an
+        # optional third element (caption_model.state_dict()) is accepted
+        # for the training-trajectory parity tests
+        if len(state_list) > 2 and state_list[2] is not None:
+            out.update(convert_vsrn_caption(state_list[2]))
     elif name == "SAEM":
         out.update(convert_transformer_mapping(state_list[0]))
         out.update(convert_bert_mapping(state_list[1], config.get("txt_stru", "cnn")))
