@@ -134,12 +134,24 @@ class RawImageDataset:
             "test": "captions_val2014.json",
         }[split]
         img_sub = "train2014" if split == "train" else "val2014"
+        self.captions, self.paths = [], []
+        self._append_coco_split(capdir, imgdir, ann_file, img_sub, split)
+        if split == "train" and config.get("use_restval"):
+            # Karpathy restval: the val2014 images that are in neither the
+            # dev-5000 nor test-5000 folds join the training split
+            # (ref data_loader.py:274-287 'trainrestval' + :372-376)
+            self._append_coco_split(
+                capdir, imgdir, "captions_val2014.json", "val2014", "restval"
+            )
+
+    def _append_coco_split(self, capdir, imgdir, ann_file, img_sub, split):
         with open(os.path.join(capdir, ann_file)) as f:
             coco = json.load(f)
         img_by_id = {im["id"]: im["file_name"] for im in coco["images"]}
         anns = {a["id"]: a for a in coco["annotations"]}
         ids_file = {
             "train": "coco_train_ids.npy",
+            "restval": "coco_restval_ids.npy",
             "dev": "coco_dev_ids.npy",
             "val": "coco_dev_ids.npy",
             "test": "coco_test_ids.npy",
@@ -149,9 +161,18 @@ class RawImageDataset:
             ann_ids = np.load(ids_path)
             if split in ("dev", "val"):
                 ann_ids = ann_ids[:5000]
+        elif split == "restval":
+            # no restval ids file shipped: derive it as val2014 minus the
+            # dev/test folds (matches the Karpathy-split snippet the
+            # reference documents at data_loader.py:243-252)
+            used = set()
+            for f_ in ("coco_dev_ids.npy", "coco_test_ids.npy"):
+                p = os.path.join(capdir, f_)
+                if os.path.exists(p):
+                    used.update(int(i) for i in np.load(p))
+            ann_ids = [i for i in anns.keys() if i not in used]
         else:
             ann_ids = list(anns.keys())
-        self.captions, self.paths = [], []
         for aid in ann_ids:
             a = anns[int(aid)]
             self.captions.append(a["caption"])
@@ -181,13 +202,34 @@ class RawImageDataset:
     def __len__(self):
         return self.length
 
+    def _executor(self, workers: int):
+        if getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+        return self._pool
+
     def gather(self, idx, train=False, rng=None):
-        imgs = np.stack(
-            [
-                load_image(self.paths[i], train, self.crop_size, rng)
-                for i in idx
-            ]
-        )
+        """PIL decode + transform, parallelized over `workers` threads
+        (honoring the reference's num_workers loader knob,
+        data_loader.py:181-196).  Each image draws its crop/flip randomness
+        from its own child generator spawned from `rng`, so batch content is
+        deterministic for a fixed seed regardless of thread scheduling or
+        worker count.  PIL's JPEG decode releases the GIL, so threads give
+        real concurrency for the decode+resize work.
+        """
+        rngs = rng.spawn(len(idx)) if rng is not None else [None] * len(idx)
+        workers = int(self.config.get("workers", 0) or 0)
+
+        def load_one(i, r):
+            return load_image(self.paths[i], train, self.crop_size, r)
+
+        if workers > 1 and len(idx) > 1:
+            imgs = np.stack(
+                list(self._executor(workers).map(load_one, idx, rngs))
+            )
+        else:
+            imgs = np.stack([load_one(i, r) for i, r in zip(idx, rngs)])
         return {
             "images": imgs,
             "cap_ids": self.cap_ids[idx],

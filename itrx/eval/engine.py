@@ -138,6 +138,7 @@ def cal_sims(
     mesh=None,
     length_buckets: int = 4,
     compute_dtype=None,
+    budgets: dict | None = None,
 ):
     """See _cal_sims_tiled.  For token-level caption embeddings the word axis
     is statically padded (~3x the mean caption length on f30k/coco), and the
@@ -146,6 +147,7 @@ def cal_sims(
     (multiple-of-8) word length, and the result columns are scattered back.
     Cuts the VPU-bound elementwise work on the attention tensor by ~2-3x.
     """
+    budgets = budgets or {}
     if (
         cap_mask is None
         or length_buckets <= 1
@@ -155,7 +157,9 @@ def cal_sims(
         return _cal_sims_tiled(
             model, variables, img_embs, cap_embs, cap_mask,
             img_tile, cap_tile, verbose, mesh,
+            slab_bytes=budgets.get("slab_bytes"),
             compute_dtype=compute_dtype,
+            fused_grid_bytes=budgets.get("fused_grid_bytes"),
         )
 
     t0 = time.time()
@@ -181,8 +185,11 @@ def cal_sims(
     # where a device scatter would hold a second full (Ni, Nc) matrix plus
     # bucket copies live at once.
     host_staged = isinstance(cap_embs, np.ndarray)
-    on_device = (not host_staged) and (ni * nc * 4 * 2 < (1 << 30))
-    slab_bytes = (512 << 20) if host_staged else (2 << 30)
+    assembly_cap = budgets.get("device_assembly_bytes") or (1 << 30)
+    on_device = (not host_staged) and (ni * nc * 4 * 2 < assembly_cap)
+    slab_bytes = budgets.get("slab_bytes") or (
+        (512 << 20) if host_staged else (2 << 30)
+    )
     sims = jnp.zeros((ni, nc), jnp.float32) if on_device else np.zeros(
         (ni, nc), np.float32
     )
@@ -204,6 +211,7 @@ def cal_sims(
             model, variables, img_embs, caps_b, mask_b,
             img_tile, cap_tile, verbose=False, mesh=mesh,
             slab_bytes=slab_bytes, compute_dtype=compute_dtype,
+            fused_grid_bytes=budgets.get("fused_grid_bytes"),
         )
         if on_device:
             sims = sims.at[:, jnp.asarray(in_bucket)].set(s)
@@ -233,6 +241,7 @@ def _cal_sims_tiled(
     mesh=None,
     slab_bytes: int | None = None,
     compute_dtype=None,
+    fused_grid_bytes: int | None = None,
 ):
     """Full (N_img, N_cap) similarity matrix in device-resident tiles.
 
@@ -279,7 +288,7 @@ def _cal_sims_tiled(
     if (
         fused_on
         and not isinstance(cap_embs, np.ndarray)
-        and fused_bytes < (6 << 30)
+        and fused_bytes < (fused_grid_bytes or (6 << 30))
     ):
         img_tile, cap_tile = ni, nc
     # budget the per-tile attention tensor for token-level similarities:
@@ -367,9 +376,34 @@ def _cal_sims_tiled(
     return sims
 
 
+
+def _eval_budgets(config) -> dict:
+    """HBM-budget knobs for the eval engine, config-overridable (round-2
+    verdict item 9 — the defaults encode a 16GB v5e chip):
+
+    - eval_slab_bytes: per-tile attention-tensor budget in _cal_sims_tiled
+      (default 2GiB device-resident / 512MiB host-staged)
+    - eval_fused_grid_bytes: cap under which the fused-kernel path scores
+      the whole (Ni, Nc) grid in one call (default 6GiB)
+    - eval_device_assembly_bytes: output-matrix size under which bucket
+      columns are scattered on device instead of host numpy (default 1GiB)
+    - eval_offload_bytes: embedding stacks above this are staged to host
+      after encode (default 2GiB)
+    """
+    return {
+        "slab_bytes": config.get("eval_slab_bytes"),
+        "fused_grid_bytes": config.get("eval_fused_grid_bytes"),
+        "device_assembly_bytes": config.get("eval_device_assembly_bytes"),
+    }
+
+
 def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=None):
     """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
-    enc = encode_data(model, variables, dataset, config["batch_size"], mesh=mesh)
+    enc = encode_data(
+        model, variables, dataset, config["batch_size"],
+        offload_threshold_bytes=config.get("eval_offload_bytes", 2 << 30),
+        mesh=mesh,
+    )
     img_embs = enc["img"]
     cap_embs = enc["cap"]
     cap_mask = enc.get("cap_mask")
@@ -388,6 +422,7 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
             cap_tile=config.get("eval_cap_tile", 1024),
             mesh=mesh,
             compute_dtype=cdt,
+            budgets=_eval_budgets(config),
         )
         res = metrics.cal_recall(sims, cap_ratio=im_div)
         res["data_name"] = config["data_name"]
@@ -410,6 +445,7 @@ def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=
             cap_tile=config.get("eval_cap_tile", 1024),
             mesh=mesh,
             compute_dtype=cdt,
+            budgets=_eval_budgets(config),
         )
         print(f"--------------------- The {i + 1} part ---------------------")
         r = metrics.cal_recall(sims)

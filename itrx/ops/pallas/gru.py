@@ -118,6 +118,25 @@ def _pad_b(x, bp):
     return jnp.pad(x, ((0, 0), (0, bp - b)) + ((0, 0),) * (x.ndim - 2))
 
 
+def _compiler_params(h: int, bp: int, dot_dtype) -> "pltpu.CompilerParams | None":
+    """Raise the scoped-VMEM limit for large H.
+
+    The default 16MB scoped-VMEM budget (an XLA default, not the chip — a
+    v5e core has 128MB VMEM) fits the kernel stack up to H=1024.  At VSRN's
+    H=2048 the resident recurrent weight alone is 24MB bf16, so the kernel
+    requests an explicit budget sized to its stack (~40MB at B=128) plus
+    headroom.  Weight residency beats HBM-streaming here: one (H, 3H) fetch
+    total instead of one per timestep.
+    """
+    if h <= 1024:
+        return None
+    itemsize = jnp.dtype(dot_dtype).itemsize
+    weight = h * 3 * h * itemsize
+    per_step = bp * 3 * h * (2 * 4 + 2 * itemsize) + bp * h * 16
+    budget = weight + 2 * per_step + (8 << 20)
+    return pltpu.CompilerParams(vmem_limit_bytes=int(budget))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _gru_seq(gates_x, m, w_hh, b_hh, reverse: bool, interpret: bool,
              dot_dtype_str: str = "bfloat16"):
@@ -163,6 +182,7 @@ def _gru_seq_fwd_impl(gates_x, m, w_hh, b_hh, reverse, interpret,
         ],
         scratch_shapes=[pltpu.VMEM((BP, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=_compiler_params(H, BP, dot_dtype),
     )(gates_x, m, whht, bhh)
     return (outs[:, :B], hfin[:B]), (hall, ghall), BP
 
@@ -217,6 +237,7 @@ def _gru_seq_bwd(reverse, interpret, dot_dtype_str, res, grads):
         ],
         scratch_shapes=[pltpu.VMEM((BP, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=_compiler_params(H, BP, dot_dtype),
     )(gates_xp, mp, hall, ghall, g_outs, g_final, whh)
 
     ggx = ggx[:, :B].astype(jnp.float32)

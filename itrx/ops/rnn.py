@@ -100,10 +100,12 @@ class MaskedGRU(nn.Module):
         if (
             self.use_fused
             and self.hidden_size % 128 == 0
-            # the recurrent weight must be VMEM-resident (~16MB/core): the
-            # (H, 3H) bf16 matrix is 6.3MB at H=1024 and 25MB at H=2048
-            # (VSRN's embed_size GRUs), which hard-OOMs the kernel stack
-            and self.hidden_size <= 1024
+            # the recurrent weight stays VMEM-resident; above the 16MB
+            # default scoped-VMEM budget the kernel requests an explicit
+            # limit sized to its stack (gru._compiler_params — ~40MB at
+            # H=2048/B=128, v5e VMEM is 128MB/core).  H=2048 covers VSRN's
+            # embed_size GRUs; beyond that the weight alone nears the chip.
+            and self.hidden_size <= 2048
             and pallas_ok()
         ):
             mesh = shard_mesh()

@@ -85,3 +85,33 @@ def test_fused_grads_forward_direction(rng):
                                atol=3e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                atol=3e-4, rtol=2e-4)
+
+
+def test_fused_grads_bf16_dot_bounded_drift(rng):
+    """Production default dot_dtype='bfloat16': the backward recomputes
+    gates from bf16-saved pre-activations, so gradients drift slightly from
+    the fp32 scan.  Bound that drift (ADVICE r2: the exactness tests all
+    pin dot_dtype='float32', leaving the production grad path untested)."""
+    x, mask = _data(rng, b=8, l=10)
+    w_ih, w_hh, b_ih, b_hh = _params(rng, 64, 128)
+
+    def loss(fn, kw):
+        def f(x_, w_hh_):
+            o, h = fn(x_, mask, w_ih, w_hh_, b_ih, b_hh, **kw)
+            return jnp.sum(o * jnp.cos(o)) + jnp.sum(h * h)
+
+        return f
+
+    want = jax.grad(loss(gru_scan, {}), argnums=(0, 1))(x, w_hh)
+    got = jax.grad(
+        loss(gru_scan_fused, {"interpret": True, "dot_dtype": "bfloat16"}),
+        argnums=(0, 1),
+    )(x, w_hh)
+    for g, w, what in zip(got, want, ("dx", "dw_hh")):
+        g, w = np.asarray(g), np.asarray(w)
+        denom = np.maximum(np.abs(w).max(), 1e-3)
+        rel = np.abs(g - w).max() / denom
+        # bf16 has ~3 decimal digits; the recurrence compounds ~L of them
+        assert rel < 0.05, f"{what}: bf16-dot grad drift {rel} too large"
+        # and the drift must not be pathological zero-output either
+        assert np.abs(g).max() > 0.1 * denom

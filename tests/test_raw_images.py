@@ -130,3 +130,82 @@ def test_vgg19_torch_weight_conversion(tmp_path, rng):
     out = VGG19().apply({"params": params}, x)
     assert out.shape == (1, 4096)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gather_workers_deterministic_and_concurrent(flickr_dir):
+    """workers=8 parallel decode yields byte-identical batches to workers=0
+    (per-image spawned RNGs make crops independent of thread scheduling)."""
+    cfg0 = dict(_cfg(flickr_dir), workers=0)
+    cfg8 = dict(_cfg(flickr_dir), workers=8)
+    ds0 = RawImageDataset(flickr_dir, "f30k", "train", cfg0)
+    ds8 = RawImageDataset(flickr_dir, "f30k", "train", cfg8)
+    b0 = next(iter(ds0.train_batches(4, seed=3)))
+    b8 = next(iter(ds8.train_batches(4, seed=3)))
+    np.testing.assert_array_equal(b0["images"], b8["images"])
+    np.testing.assert_array_equal(b0["cap_ids"], b8["cap_ids"])
+    # the pool actually exists and is shared across gathers
+    assert ds8._pool is not None and ds0.__dict__.get("_pool") is None
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    """Tiny coco layout: 4 train2014 images, 6 val2014 images of which 2 are
+    dev, 2 test, 2 restval (5 captions each)."""
+    root = tmp_path_factory.mktemp("rawcoco")
+    ann = root / "annotations"
+    ann.mkdir()
+    rng = np.random.default_rng(1)
+    aid = [0]
+
+    def build(sub, n, id0):
+        (root / "images" / sub).mkdir(parents=True, exist_ok=True)
+        images, annotations = [], []
+        for i in range(n):
+            img_id = id0 + i
+            name = f"{sub}_{i}.jpg"
+            arr = rng.integers(0, 255, (48, 56, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / "images" / sub / name)
+            images.append({"id": img_id, "file_name": name})
+            for _ in range(5):
+                annotations.append(
+                    {
+                        "id": aid[0],
+                        "image_id": img_id,
+                        "caption": f"picture {img_id} of a cat",
+                    }
+                )
+                aid[0] += 1
+        return {"images": images, "annotations": annotations}
+
+    train = build("train2014", 4, 0)
+    val = build("val2014", 6, 100)
+    with open(ann / "captions_train2014.json", "w") as f:
+        json.dump(train, f)
+    with open(ann / "captions_val2014.json", "w") as f:
+        json.dump(val, f)
+    val_aids = [a["id"] for a in val["annotations"]]
+    np.save(ann / "coco_train_ids.npy",
+            np.array([a["id"] for a in train["annotations"]]))
+    np.save(ann / "coco_dev_ids.npy", np.array(val_aids[:10]))
+    np.save(ann / "coco_test_ids.npy", np.array(val_aids[10:20]))
+    return str(root)
+
+
+def test_coco_restval_split_sizes(coco_dir):
+    """use_restval=True trains on train2014 + val2014-minus-dev/test
+    (ref data_loader.py:274-287); False keeps train2014 only."""
+    cfg = dict(_cfg(coco_dir), data_name="coco")
+    base = RawImageDataset(coco_dir, "coco", "train", dict(cfg))
+    assert len(base) == 20  # 4 images x 5 captions
+    rv = RawImageDataset(coco_dir, "coco", "train", dict(cfg, use_restval=True))
+    # +2 restval images x 5 captions (the val2014 remainder)
+    assert len(rv) == 30
+    restval_paths = set(rv.paths) - set(base.paths)
+    assert all("val2014" in p for p in restval_paths)
+    assert len({p for p in restval_paths}) == 2
+    # dev split unaffected
+    dev = RawImageDataset(coco_dir, "coco", "dev", dict(cfg))
+    assert len(dev) == 10
+    # the restval images must be loadable through the normal batch path
+    b = next(iter(rv.train_batches(5, seed=0)))
+    assert np.isfinite(b["images"]).all()
