@@ -82,19 +82,33 @@ class TextSA(nn.Module):
 
 
 class GraphReasoning(nn.Module):
-    """One SGR step: self-attention over L+1 alignment nodes (ref :564-597)."""
+    """One SGR step: self-attention over L+1 alignment nodes (ref :564-597).
+
+    params_only=True returns the three Linears' (kernel, bias) pairs for
+    the fused Pallas SGR kernel (itrx/ops/pallas/sgr.py), which applies
+    them itself while keeping this module's checkpoint layout.
+    """
 
     sim_dim: int
 
     @nn.compact
-    def __call__(self, sim_emb, node_mask):
-        q = XavierLinear(self.sim_dim, name="query_w")(sim_emb)
-        k = XavierLinear(self.sim_dim, name="key_w")(sim_emb)
+    def __call__(self, sim_emb, node_mask, *, params_only: bool = False):
+        q_lin = XavierLinear(self.sim_dim, name="query_w")
+        k_lin = XavierLinear(self.sim_dim, name="key_w")
+        g_lin = XavierLinear(self.sim_dim, name="graph_w")
+        if params_only:
+            return (
+                q_lin(self.sim_dim, params_only=True),
+                k_lin(self.sim_dim, params_only=True),
+                g_lin(self.sim_dim, params_only=True),
+            )
+        q = q_lin(sim_emb)
+        k = k_lin(sim_emb)
         edge = jnp.einsum("bnd,bmd->bnm", q, k)
         edge = jnp.where(node_mask[:, None, :] > 0, edge, NEG_INF)
         edge = jax.nn.softmax(edge, axis=-1)
         sgr = jnp.einsum("bnm,bmd->bnd", edge, sim_emb)
-        return nn.relu(XavierLinear(self.sim_dim, name="graph_w")(sgr))
+        return nn.relu(g_lin(sgr))
 
 
 class _SAFBatchNorm(nn.Module):
@@ -293,10 +307,28 @@ class _ChunkScorer(nn.Module):
             [jnp.ones((c * ni, 1), mask_x.dtype), mask_x], axis=1
         )
         if self.module_name == "SGR":
-            for i in range(self.sgr_step):
-                sim_emb = GraphReasoning(self.sim_dim, name=f"SGR_{i}")(
-                    sim_emb, node_mask
+            mods = [
+                GraphReasoning(self.sim_dim, name=f"SGR_{i}")
+                for i in range(self.sgr_step)
+            ]
+            if sim_emb.dtype == jnp.bfloat16 and self.sim_dim % 128 == 0 and pallas_ok():
+                # fused Pallas SGR: all sgr_step reasoning steps run on a
+                # VMEM-resident row block — the XLA chain's ~10 HBM round
+                # trips of the (C*Ni, L+1, 256) tensor per step (plus
+                # layout transposes) collapse to one read + one save per
+                # step (itrx/ops/pallas/sgr.py)
+                from ..ops.pallas.sgr import sgr_reason_auto
+
+                prm = [m(None, None, params_only=True) for m in mods]
+                stack = lambda j, k_: jnp.stack([p[j][k_] for p in prm])
+                sim_emb = sgr_reason_auto(
+                    sim_emb, node_mask,
+                    stack(0, 0), stack(0, 1), stack(1, 0), stack(1, 1),
+                    stack(2, 0), stack(2, 1), cap_rows=c,
                 )
+            else:
+                for m in mods:
+                    sim_emb = m(sim_emb, node_mask)
             sim_vec = sim_emb[:, 0, :]
         elif self.module_name == "SAF":
             sim_vec = AttentionFiltration(

@@ -90,7 +90,10 @@ def pallas_ok() -> bool:
     """
     if not interpret_mode() and jax.default_backend() in ("cpu", "gpu"):
         return False
-    if jax.device_count() == 1:
+    if jax.device_count() == 1 or interpret_mode():
+        # interpret mode executes the kernels as plain jax ops, which are
+        # safe on any device count (shard_ctx still selects the shard_map
+        # wrappers when a mesh is active)
         return True
     mesh = active_mesh()
     return mesh is not None and "dp" in mesh.shape
