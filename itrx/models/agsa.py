@@ -68,7 +68,14 @@ class AGSA(nn.Module):
     @nn.compact
     def __call__(self, rgn_emb, pos_emb=None, mask=None, train: bool = False):
         b, n, d = rgn_emb.shape
-        x = rgn_emb if pos_emb is None else rgn_emb * pos_emb
+        # the gate is computed from fp32 geometry (see make_train_step's
+        # _cast_batch); cast it to the activation dtype here so an fp32
+        # gate cannot silently promote the whole bf16 chain downstream
+        x = (
+            rgn_emb
+            if pos_emb is None
+            else rgn_emb * pos_emb.astype(rgn_emb.dtype)
+        )
 
         def block(i, x_in):
             y = GatedQueryAttLayer(
@@ -119,11 +126,17 @@ def absolute_encode(boxes, imgs_wh):
     boxes: (B, R, 4) xyxy; imgs_wh: (B, 2).  Returns (B, R, 6):
     [x, y, w, h normalized by image size, w/h, area ratio].
     """
+    boxes = jnp.asarray(boxes, jnp.float32)
+    imgs_wh = jnp.asarray(imgs_wh, jnp.float32)
     x, y = boxes[:, :, 0], boxes[:, :, 1]
     w = boxes[:, :, 2] - boxes[:, :, 0]
     h = boxes[:, :, 3] - boxes[:, :, 1]
     expand_wh = jnp.concatenate([imgs_wh, imgs_wh], axis=1)[:, None, :]  # (B,1,4)
-    ratio_wh = (w / h)[..., None]
+    # sign-preserving clamp: a degenerate box (h == 0, legal in raw
+    # detector output) must not put an inf into the gate's input — the
+    # sigmoid forward survives but its kernel gradient becomes 0*inf = NaN
+    h_safe = jnp.where(jnp.abs(h) < 1e-6, jnp.where(h < 0, -1e-6, 1e-6), h)
+    ratio_wh = (w / h_safe)[..., None]
     ratio_area = (w * h / (imgs_wh[:, 0] * imgs_wh[:, 1])[:, None])[..., None]
     xywh = jnp.stack([x, y, w, h], axis=2) / expand_wh
     return jnp.concatenate([xywh, ratio_wh, ratio_area], axis=-1)

@@ -98,22 +98,36 @@ class DecoderRNN(nn.Module):
         )
         keep = 1.0 - self.input_dropout_p
 
+        # additive attention, concat split by distributivity:
+        # tanh(cat(enc, h) @ W1 + b1) == tanh(enc @ W1[:H] + b1 + h @ W1[H:]).
+        # The encoder half is step-invariant, so it hoists out of the scan —
+        # the per-step attention matmul drops from (B*R, 2H) x (2H, H) to
+        # (B, H) x (H, H), ~36x fewer FLOPs at R=36 (ref loops the full
+        # concat every step, Fusionmodule.py:292 + :112-146)
+        enc_att = encoder_outputs @ att_w1[: encoder_outputs.shape[-1]] + att_b1
+
         def attend(dec_h):
-            hh = jnp.broadcast_to(dec_h[:, None, :], encoder_outputs.shape)
-            inputs = jnp.concatenate([encoder_outputs, hh], axis=2)
-            o = jnp.tanh(inputs @ att_w1 + att_b1)
+            o = jnp.tanh(
+                enc_att + (dec_h @ att_w1[encoder_outputs.shape[-1]:])[:, None, :]
+            )
             e = (o @ att_w2)[..., 0]
             alpha = jax.nn.softmax(e, axis=1)
             return jnp.einsum("bs,bsd->bd", alpha, encoder_outputs)
 
+        # the input projection splits over the concat (dropout is
+        # elementwise, so it factorizes too): gx = drop(words) @ Ww^T +
+        # drop(context) @ Wc^T + b.  The word half hoists out of the scan
+        # in train mode (one (B*T, W) x (W, 3H) matmul for all steps).
+        w_words = w_ih[:, : self.dim_word]
+        w_ctx = w_ih[:, self.dim_word:]
+
         def advance(dec_h, current_words, t):
             context = attend(dec_h)
-            dec_in = jnp.concatenate([current_words, context], axis=1)
             if drop_rng is not None:
                 key = jax.random.fold_in(drop_rng, t)
-                mask = jax.random.bernoulli(key, keep, dec_in.shape)
-                dec_in = jnp.where(mask, dec_in / keep, 0.0)
-            gx = dec_in @ w_ih.T + b_ih
+                mask = jax.random.bernoulli(key, keep, context.shape)
+                context = jnp.where(mask, context / keep, 0.0)
+            gx = current_words @ w_words.T + context @ w_ctx.T + b_ih
             return gru_cell(dec_h, gx, w_hh, b_hh)
 
         def rnn_step(dec_h, current_words, t):
@@ -123,9 +137,22 @@ class DecoderRNN(nn.Module):
 
         if mode == "train":
             targets_emb = emb[targets]  # (B, T, dim_word)
+            words = targets_emb[:, : self.max_len - 1, :]
+            if drop_rng is not None:
+                wmask = jax.random.bernoulli(
+                    jax.random.fold_in(drop_rng, self.max_len), keep, words.shape
+                )
+                words = jnp.where(wmask, words / keep, 0.0)
+            gx_words = words @ w_words.T  # (B, T-1, 3H), hoisted
 
             def step(dec_h, t):
-                dec_h = advance(dec_h, targets_emb[:, t, :], t)
+                context = attend(dec_h)
+                if drop_rng is not None:
+                    key = jax.random.fold_in(drop_rng, t)
+                    cmask = jax.random.bernoulli(key, keep, context.shape)
+                    context = jnp.where(cmask, context / keep, 0.0)
+                gx = gx_words[:, t] + context @ w_ctx.T + b_ih
+                dec_h = gru_cell(dec_h, gx, w_hh, b_hh)
                 return dec_h, dec_h
 
             steps = jnp.arange(self.max_len - 1)

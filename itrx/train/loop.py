@@ -49,6 +49,20 @@ def make_train_step(model, tx, compute_dtype=None, mesh=None):
             tree,
         )
 
+    # Box geometry stays fp32: h = y2-y1 under bf16 quantization collapses
+    # thin boxes to exactly 0 (bf16 spacing at y~300 is 2.0), so the w/h
+    # ratio in absolute_encode becomes inf and the position-gate kernel
+    # gradient hits 0*inf = NaN — which grad-clip's global norm then smears
+    # over every parameter.  The fields are (B,R,4)/(B,2) scalars feeding a
+    # bounded sigmoid gate; there is no bandwidth to win by halving them.
+    _KEEP_F32 = ("boxes", "imgs_wh")
+
+    def _cast_batch(b):
+        kept = {k: b[k] for k in _KEEP_F32 if k in b}
+        out = dict(_cast({k: v for k, v in b.items() if k not in kept}))
+        out.update(kept)
+        return out
+
     # donate the state so params/opt buffers update in place on device
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, batch, rng, epoch):
@@ -56,7 +70,7 @@ def make_train_step(model, tx, compute_dtype=None, mesh=None):
             b = batch
             if cdt is not None:
                 params = _cast(params)
-                b = _cast(batch)
+                b = _cast_batch(batch)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = (

@@ -89,3 +89,49 @@ def test_vsrn_bf16_step(rng):
     l32, _ = _run(cfg, b, False)
     l16, _ = _run(cfg, b, True)
     assert abs(l16[0] - l32[0]) / abs(l32[0]) < 0.05, (l16, l32)
+
+
+def test_camera_bf16_thin_box_stays_finite(rng, tmp_path):
+    """Regression: bf16 quantization must not NaN CAMERA's position gate.
+
+    h = y2 - y1 computed in bf16 collapses a thin box to exactly 0 (bf16
+    spacing at y~300 is 2.0), so absolute_encode's w/h ratio becomes inf;
+    sigmoid(inf) survives the forward but the gate kernel's gradient is
+    0*inf = NaN, and grad-clip's global norm then wipes every parameter.
+    The train step keeps boxes/imgs_wh fp32 (loop._KEEP_F32) and
+    absolute_encode clamps degenerate heights.
+    """
+    import json
+
+    bc = dict(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=64, type_vocab_size=2,
+        initializer_range=0.02,
+    )
+    (tmp_path / "bert_config.json").write_text(json.dumps(bc))
+
+    b_, r_, l_ = 8, 12, 16
+    batch = _batch(rng, b=b_, r=r_, l=l_)
+    batch["type_ids"] = jnp.zeros((b_, l_), jnp.int32)
+    xy = rng.uniform(0, 200, (b_, r_, 2)).astype(np.float32)
+    wh = rng.uniform(5, 100, (b_, r_, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], axis=2)
+    # the trigger: a thin box high in the image — under bf16, 300.5 - 300.0
+    # rounds to 0 and w/h overflows to inf
+    boxes[0, 0] = [10.0, 300.0, 90.0, 300.5]
+    batch["boxes"] = jnp.asarray(boxes)
+    batch["imgs_wh"] = jnp.full((b_, 2), 320.0, jnp.float32)
+
+    cfg = dict(
+        name="CAMERA", vocab_size=120, embed_size=64, head=4, smry_k=5,
+        smry_lamda=0.01, drop=0.0, margin=0.2, max_violation=True,
+        bert_config_file=str(tmp_path / "bert_config.json"),
+    )
+    l32, _ = _run(cfg, batch, False)
+    l16, s16 = _run(cfg, batch, True)
+    assert all(np.isfinite(l16)), (l16, l32)
+    assert abs(l16[0] - l32[0]) / abs(l32[0]) < 0.05, (l16, l32)
+    leaves = jax.tree_util.tree_leaves(s16.params)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
