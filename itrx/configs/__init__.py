@@ -117,6 +117,13 @@ def base_config() -> dict:
         sim_bf16=False,      # SGRAF: bf16 alignment chain in the sim tower
         sim_remat=True,      # SGRAF: rematerialize chunk activations in bwd
         mesh_shape=None,     # e.g. {'dp': 8} for multi-chip data parallel
+        # multi-host (pod) launch: one process per host (itrx/parallel/
+        # multihost.py).  multihost=True auto-detects from TPU metadata;
+        # explicit coordinator keys support generic launchers.
+        multihost=False,
+        coordinator_address=None,  # host:port of process 0
+        num_processes=None,
+        process_id=None,
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import threading
 import time
 from queue import Queue
@@ -151,6 +152,15 @@ def validate_step(config, model, state: TrainState, val_dataset, writer=None, me
     """Mirror of ref validate_step (utils.py:144-186). Returns (rsum, r1_i2t)."""
     start = time.time()
     variables = state.variables()
+    if mesh is not None and jax.process_count() > 1:
+        # eval stays HOST-local on a pod (itrx/parallel/multihost.py): each
+        # host scores the full split on its own chips — params are
+        # dp-replicated so every host reaches the same rsum and makes the
+        # same is_best decision without any cross-host collective
+        from ..parallel import multihost
+
+        variables = jax.tree.map(np.asarray, variables)
+        mesh = multihost.local_mesh()
     res = engine.evaluate_split(model, variables, val_dataset, config, mesh=mesh)
     print("Calculate similarity time:", time.time() - start)
     logger.info(
@@ -194,9 +204,16 @@ def train_epoch(
 
     place = (lambda b: b)
     if mesh is not None:
-        from ..parallel.mesh import shard_batch
+        if jax.process_count() > 1:
+            # every host runs the same deterministic batcher; global_batch
+            # slices this host's rows and stitches one global jax.Array
+            from ..parallel.multihost import global_batch
 
-        place = lambda b: shard_batch(b, mesh)  # noqa: E731
+            place = lambda b: global_batch(b, mesh)  # noqa: E731
+        else:
+            from ..parallel.mesh import shard_batch
+
+            place = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     end = time.time()
     it = prefetch(
@@ -244,7 +261,16 @@ def fit(config, train_dataset=None, val_dataset=None):
     """Full training (ref train.py:20-72).  Returns (state, best_rsum)."""
     from ..data import precomp
     from ..models import get_model
+    from ..parallel import multihost
     from ..utils.checkpoint import load_checkpoint
+
+    # pod entry (SURVEY.md §5): no-op unless the config names a coordinator
+    # or sets multihost=True; afterwards jax.devices() is the GLOBAL list
+    # and the dp mesh below spans hosts.
+    proc_id, n_proc = multihost.initialize(config)
+    if n_proc > 1:
+        print(f"=> multihost: process {proc_id}/{n_proc}, "
+              f"{len(jax.local_devices())} local of {jax.device_count()} devices")
 
     np.random.seed(config["seed"])
 
@@ -254,7 +280,12 @@ def fit(config, train_dataset=None, val_dataset=None):
     else:
         config.setdefault("vocab_size", train_dataset.vocab_size)
 
-    writer = MetricWriter(config["save_dir"])
+    # non-primary hosts log to a per-process subdir (same filesystem in
+    # tests; separate disks on a real pod) — primary owns the canonical log
+    writer = MetricWriter(
+        config["save_dir"] if multihost.is_primary()
+        else os.path.join(config["save_dir"], f"worker{proc_id}")
+    )
     model = get_model(config)
     steps_per_epoch = max(len(train_dataset) // config["batch_size"], 1)
 

@@ -77,7 +77,13 @@ def save_train_checkpoint(
     state, config, epoch, best_rsum, best_r1, is_best,
     filename="checkpoint.itrx", prefix="", is_epo_end=False,
 ):
-    """Mirror of ref save_checkpoint (utils.py:57-61): epoch-end + best files."""
+    """Mirror of ref save_checkpoint (utils.py:57-61): epoch-end + best files.
+
+    On a multi-host pod only process 0 writes (params/opt state are
+    dp-replicated, so its copy is complete); sharded tp state goes through
+    the orbax path below instead."""
+    if jax.process_index() != 0:
+        return []
     sd = {
         "params": state.params,
         "batch_stats": state.batch_stats,
