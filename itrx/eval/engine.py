@@ -73,7 +73,8 @@ def _sim_fn_for(model, mesh=None):
 
 
 def encode_data(model, variables, dataset, batch_size: int,
-                offload_threshold_bytes: int = 2 << 30, mesh=None):
+                offload_threshold_bytes: int = 3 << 30, mesh=None,
+                compute_dtype=None):
     """Encode a full split; returns dict of stacked embeddings (+masks).
 
     Mirror of ref encode_data (evaluation.py:75-121).  Embeddings whose full
@@ -81,6 +82,14 @@ def encode_data(model, variables, dataset, batch_size: int,
     caption embeddings, ~6.6GB) are staged to host numpy instead of living on
     HBM; the similarity engine re-uploads them one length-bucket at a time.
     Smaller stacks stay device-resident.
+
+    `compute_dtype='bfloat16'` casts the embedding stacks (not masks) right
+    at encode time — the values are bit-identical to the cast `cal_sims`
+    would apply per tile, but every byte the stack moves afterwards (HBM
+    residency, host offload, re-upload) is halved.  The 3GiB offload default
+    is sized so the bf16 coco-testall token stack (25,010 x L x 1024 ≈
+    2.5GB) stays device-resident on a 16GB chip while the fp32 one (~5GB)
+    offloads.
 
     With a mesh (and a dp-divisible batch size), each eval batch is sharded
     over 'dp' so encoding parallelizes across chips.
@@ -105,11 +114,22 @@ def encode_data(model, variables, dataset, batch_size: int,
         def place(v):
             return jnp.asarray(v)
 
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+
+    def _cast_out(e):
+        if cdt is None:
+            return e
+        return {
+            k: v.astype(cdt)
+            if "mask" not in k and v.dtype == jnp.float32 else v
+            for k, v in e.items()
+        }
+
     outs = []
     for batch in dataset.eval_batches(batch_size):
         n_valid = batch.pop("n_valid")
         e = embed_fn(variables, {k: place(v) for k, v in batch.items()})
-        outs.append((e, n_valid))
+        outs.append((_cast_out(e), n_valid))
 
     keys = outs[0][0].keys()
     result = {}
@@ -200,8 +220,11 @@ def cal_sims(
         if len(in_bucket) == 0:
             continue
         if host_staged:
-            # host-staged embeddings: upload just this bucket
-            caps_b = jnp.asarray(cap_embs[in_bucket, :b])
+            # host-staged embeddings: upload just this bucket (cast to the
+            # compute dtype on host first — half the bytes over the wire)
+            caps_b = jnp.asarray(
+                _host_cast(cap_embs[in_bucket, :b], compute_dtype)
+            )
             mask_b = jnp.asarray(np.asarray(cap_mask)[in_bucket, :b])
         else:
             idx = jnp.asarray(in_bucket)
@@ -227,6 +250,25 @@ def cal_sims(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
         )
     return sims if on_device else jnp.asarray(sims)
+
+
+def _host_cast(x, compute_dtype):
+    """Cast a host fp32 array to the eval compute dtype BEFORE upload.
+
+    Bit-identical to the on-device cast `sim_fn` applies (ml_dtypes bfloat16
+    rounds to nearest even, same as XLA's convert), but the host->device
+    transfer moves half the bytes — the dominant cost of the host-staged
+    coco-testall path under slow interconnects."""
+    if (
+        compute_dtype is not None
+        and isinstance(x, np.ndarray)
+        and x.dtype == np.float32
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+    ):
+        import ml_dtypes
+
+        return x.astype(ml_dtypes.bfloat16)
+    return x
 
 
 def _cal_sims_tiled(
@@ -357,7 +399,11 @@ def _cal_sims_tiled(
         cols = []
         for j in range(n_ct):
             j0, j1 = j * cap_tile, min((j + 1) * cap_tile, nc)
-            cap_t = _pad_to(jnp.asarray(cap_embs[j0:j1]), cap_tile)
+            cap_t = _pad_to(
+                jnp.asarray(_host_cast(cap_embs[j0:j1], compute_dtype))
+                if isinstance(cap_embs, np.ndarray) else cap_embs[j0:j1],
+                cap_tile,
+            )
             if cap_mask is not None:
                 mask_t = _pad_to(jnp.asarray(cap_mask[j0:j1]), cap_tile)
                 # padded captions get one valid token to keep kernels finite
@@ -388,7 +434,8 @@ def _eval_budgets(config) -> dict:
     - eval_device_assembly_bytes: output-matrix size under which bucket
       columns are scattered on device instead of host numpy (default 1GiB)
     - eval_offload_bytes: embedding stacks above this are staged to host
-      after encode (default 2GiB)
+      after encode (default 3GiB — the bf16 coco-testall token stack stays
+      device-resident, the fp32 one offloads)
     """
     return {
         "slab_bytes": config.get("eval_slab_bytes"),
@@ -399,16 +446,17 @@ def _eval_budgets(config) -> dict:
 
 def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=None):
     """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
+    cdt = "bfloat16" if config.get("eval_bf16") else None
     enc = encode_data(
         model, variables, dataset, config["batch_size"],
-        offload_threshold_bytes=config.get("eval_offload_bytes", 2 << 30),
+        offload_threshold_bytes=config.get("eval_offload_bytes", 3 << 30),
         mesh=mesh,
+        compute_dtype=cdt,
     )
     img_embs = enc["img"]
     cap_embs = enc["cap"]
     cap_mask = enc.get("cap_mask")
     im_div = dataset.im_div
-    cdt = "bfloat16" if config.get("eval_bf16") else None
 
     if not fold5:
         imgs = img_embs[::im_div]
@@ -556,8 +604,11 @@ def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold
     dataset, _ = precomp.get_test_loader(split, config)
 
     def sims_of(m, v, cfg):
-        enc = encode_data(m, v, dataset, cfg["batch_size"])
-        return enc
+        return encode_data(
+            m, v, dataset, cfg["batch_size"],
+            offload_threshold_bytes=cfg.get("eval_offload_bytes", 3 << 30),
+            compute_dtype="bfloat16" if cfg.get("eval_bf16") else None,
+        )
 
     enc1 = sims_of(model, variables, config)
     enc2 = sims_of(model2, variables2, config2)

@@ -95,3 +95,48 @@ def test_bf16_xattn_scores_close():
     )
     assert s16.dtype == np.float32
     assert np.max(np.abs(s32 - s16)) < 0.03
+
+
+def test_host_staged_bf16_matches_device_path():
+    """Host-staged numpy embeddings (cast to bf16 on HOST before upload,
+    engine._host_cast) must give bitwise-identical sims to the device-cast
+    path — the cast commutes with the transfer."""
+    rng = np.random.default_rng(2)
+    n, r, l, d = 80, 8, 12, 64
+    im3 = rng.standard_normal((n, r, d)).astype(np.float32)
+    lengths = rng.integers(4, l + 1, (5 * n,))
+    mask = (np.arange(l)[None] < lengths[:, None]).astype(np.float32)
+    cap = (
+        np.repeat(im3.mean(1, keepdims=True), 5, 0)
+        + 0.7 * rng.standard_normal((5 * n, l, d)).astype(np.float32)
+    ) * mask[:, :, None]
+    model = _ScanSim()
+    s_dev = engine.cal_sims(
+        model, {}, jnp.asarray(im3), jnp.asarray(cap), jnp.asarray(mask),
+        verbose=False, compute_dtype="bfloat16",
+    )
+    # host numpy captions force the host-staged branch (bucket re-upload)
+    s_host = engine.cal_sims(
+        model, {}, jnp.asarray(im3), cap, mask,
+        verbose=False, compute_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(np.asarray(s_dev), np.asarray(s_host))
+
+
+def test_encode_time_cast_matches_sim_time_cast():
+    """encode_data(compute_dtype='bfloat16') pre-casts the stacks; sims from
+    pre-cast embeddings equal sims from fp32 embeddings cast at tile time."""
+    rng = np.random.default_rng(3)
+    im, cap = _planted(rng, n=60)
+    model = _CosSim()
+    s_late = engine.cal_sims(
+        model, {}, jnp.asarray(im), jnp.asarray(cap),
+        verbose=False, compute_dtype="bfloat16",
+    )
+    s_early = engine.cal_sims(
+        model, {},
+        jnp.asarray(im).astype(jnp.bfloat16),
+        jnp.asarray(cap).astype(jnp.bfloat16),
+        verbose=False, compute_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(np.asarray(s_late), np.asarray(s_early))
