@@ -41,8 +41,35 @@ class GatedQueryAttLayer(nn.Module):
         k = k.reshape(b, n, self.h, d_k).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, self.h, d_k).transpose(0, 2, 1, 3)
 
-        g = TorchLinear(d_k, name="fc_q")(q) * TorchLinear(d_k, name="fc_k")(k)
-        m = jax.nn.sigmoid(TorchLinear(2 * d_k, name="fc_g")(g))
+        # gate params declared through the same modules either path, so the
+        # checkpoint layout (fc_q/fc_k/fc_g kernels+biases) is identical
+        wq, bq = TorchLinear(d_k, name="fc_q")(d_k, params_only=True)
+        wk, bk = TorchLinear(d_k, name="fc_k")(d_k, params_only=True)
+        wg, bg = TorchLinear(2 * d_k, name="fc_g")(d_k, params_only=True)
+
+        from ..ops.pallas import pallas_ok  # noqa: PLC0415 (trace-time gate)
+
+        if (
+            pallas_ok()
+            and mask is None
+            and q.dtype == jnp.bfloat16
+            and (self.drop == 0.0 or not self.train)
+            and d_k % 8 == 0
+            and d_k <= 128
+        ):
+            from ..ops.pallas.agsa_attn import agsa_attention_auto
+
+            x = agsa_attention_auto(
+                q, k, v,
+                wq, bq, wk, bk,
+                wg[:, :d_k], bg[:d_k], wg[:, d_k:], bg[d_k:],
+            )
+            return x.transpose(0, 2, 1, 3).reshape(b, n, self.h * d_k)
+
+        g = (q @ wq.astype(q.dtype) + bq.astype(q.dtype)) * (
+            k @ wk.astype(k.dtype) + bk.astype(k.dtype)
+        )
+        m = jax.nn.sigmoid(g @ wg.astype(g.dtype) + bg.astype(g.dtype))
         q = q * m[..., :d_k]
         k = k * m[..., d_k:]
 

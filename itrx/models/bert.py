@@ -87,7 +87,11 @@ class BertLayer(nn.Module):
         k = dense("key", h, hidden).reshape(b, l, nh, dk)
         v = dense("value", h, hidden).reshape(b, l, nh, dk)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dk)
-        scores = scores + attn_bias  # (B,1,1,L) additive -10000 mask
+        # cast the additive -10000 mask (built fp32 from the batch mask) to
+        # the activation dtype: an fp32 bias here silently promotes scores,
+        # probs, and every downstream hidden state of all 12 layers back to
+        # fp32 under bf16 training (-10000 is exactly representable in bf16)
+        scores = scores + attn_bias.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(
             cfg.attention_probs_dropout_prob, deterministic=not train

@@ -40,10 +40,13 @@ class TorchLinear(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
+    def __call__(self, x, *, params_only: bool = False):
+        # params_only: pass the input dim as an int and get (kernel, bias)
+        # back — for callers (Pallas kernels) that apply the weights
+        # themselves while keeping this module's checkpoint layout
+        fan_in = x if isinstance(x, int) else x.shape[-1]
         kernel = self.param("kernel", torch_linear_init, (fan_in, self.features))
-        y = x @ kernel
+        bias = None
         if self.use_bias:
             bound = 1.0 / jnp.sqrt(fan_in)
             bias = self.param(
@@ -51,6 +54,10 @@ class TorchLinear(nn.Module):
                 lambda k, s, d=jnp.float32: random.uniform(k, s, d, -bound, bound),
                 (self.features,),
             )
+        if params_only:
+            return kernel, bias
+        y = x @ kernel
+        if bias is not None:
             y = y + bias
         return y
 
