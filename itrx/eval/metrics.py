@@ -109,6 +109,25 @@ def _rank_metrics(sims: jnp.ndarray, cap_ratio: int = 5):
     return _stats_from_ranks(ri2t), _stats_from_ranks(rt2i), ri2t, rt2i
 
 
+@functools.partial(jax.jit, static_argnames=("cap_ratio",))
+def _rank_metrics_packed(sims: jnp.ndarray, cap_ratio: int = 5):
+    """Both directions' stats and raw ranks in ONE flat fp32 array.
+
+    `cal_recall` pulls its whole result with a single host transfer — under
+    a high-latency device link (the axon relay here) the dozen separate
+    scalar/array pulls of the unpacked path cost more than the ranking
+    compute itself.  Layout: [i2t stats(5) | t2i stats(5) | ranks_i2t(N) |
+    ranks_t2i(cap_ratio*N)]; ranks are exact in fp32 (N ≤ 2^24).
+    """
+    ri2t = i2t_ranks(sims, cap_ratio)
+    rt2i = t2i_ranks(sims, cap_ratio)
+    s_i2t = jnp.stack(_stats_from_ranks(ri2t)).astype(jnp.float32)
+    s_t2i = jnp.stack(_stats_from_ranks(rt2i)).astype(jnp.float32)
+    return jnp.concatenate(
+        [s_i2t, s_t2i, ri2t.astype(jnp.float32), rt2i.astype(jnp.float32)]
+    )
+
+
 def i2t(sims, return_ranks: bool = False, cap_ratio: int = 5):
     """(r1, r5, r10, medr, meanr) for image→text.  API mirror of ref i2t."""
     sims = jnp.asarray(sims)
@@ -136,9 +155,12 @@ def cal_recall(sims, cap_ratio: int = 5, verbose: bool = True) -> dict:
     arrays unless asked for.
     """
     sims = jnp.asarray(sims)
-    st_i2t, st_t2i, ranks_i2t, ranks_t2i = _rank_metrics(sims, cap_ratio)
-    r = st_i2t.as_tuple()
-    ri = st_t2i.as_tuple()
+    n = sims.shape[0]
+    packed = np.asarray(_rank_metrics_packed(sims, cap_ratio))  # one transfer
+    r = tuple(float(v) for v in packed[:5])
+    ri = tuple(float(v) for v in packed[5:10])
+    ranks_i2t = packed[10 : 10 + n].astype(np.int64)
+    ranks_t2i = packed[10 + n :].astype(np.int64)
     ar = (r[0] + r[1] + r[2]) / 3
     ari = (ri[0] + ri[1] + ri[2]) / 3
     rsum = r[0] + r[1] + r[2] + ri[0] + ri[1] + ri[2]
@@ -157,13 +179,13 @@ def cal_recall(sims, cap_ratio: int = 5, verbose: bool = True) -> dict:
         "i2t_r10": r[2],
         "i2t_medr": r[3],
         "i2t_meanr": r[4],
-        "i2t_ranks": np.asarray(ranks_i2t),
+        "i2t_ranks": ranks_i2t,
         "t2i_ave_r": ari,
         "t2i_r1": ri[0],
         "t2i_r5": ri[1],
         "t2i_r10": ri[2],
         "t2i_medr": ri[3],
         "t2i_meanr": ri[4],
-        "t2i_ranks": np.asarray(ranks_t2i),
+        "t2i_ranks": ranks_t2i,
     }
     return res
