@@ -142,9 +142,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_out_ref, wq_ref, bq_ref, wk_ref,
     gz1c = g_z1.astype(dt)
     gz2c = g_z2.astype(dt)
     dwg1_s[:] += _bdot(ggc, gz1c, ((0,), (0,)), ((), ()))
-    dbg1_s[:] += jnp.sum(g_z1, axis=0)
+    dbg1_s[:] += jnp.sum(g_z1, axis=0, keepdims=True)
     dwg2_s[:] += _bdot(ggc, gz2c, ((0,), (0,)), ((), ()))
-    dbg2_s[:] += jnp.sum(g_z2, axis=0)
+    dbg2_s[:] += jnp.sum(g_z2, axis=0, keepdims=True)
 
     g_gg = (
         _bdot(gz1c, wg1_ref[:], ((1,), (1,)), ((), ()))
@@ -155,9 +155,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_out_ref, wq_ref, bq_ref, wk_ref,
     ggq_c = g_gq.astype(dt)
     ggk_c = g_gk.astype(dt)
     dwq_s[:] += _bdot(q2, ggq_c, ((0,), (0,)), ((), ()))
-    dbq_s[:] += jnp.sum(g_gq, axis=0)
+    dbq_s[:] += jnp.sum(g_gq, axis=0, keepdims=True)
     dwk_s[:] += _bdot(k2, ggk_c, ((0,), (0,)), ((), ()))
-    dbk_s[:] += jnp.sum(g_gk, axis=0)
+    dbk_s[:] += jnp.sum(g_gk, axis=0, keepdims=True)
 
     g_q = g_q + _bdot(ggq_c, wq_ref[:], ((1,), (1,)), ((), ()))
     g_k = g_k + _bdot(ggk_c, wk_ref[:], ((1,), (1,)), ((), ()))
@@ -216,7 +216,9 @@ def _specs(bb, h, n, dk):
     blk = pl.BlockSpec((bb, h, n, dk), lambda l: (l, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((dk, dk), lambda l: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((dk,), lambda l: (0,), memory_space=pltpu.VMEM)
+    # biases ride as (1, dk): Mosaic rejects 1D refs (established pattern —
+    # see sgr.py/sgraf_align.py, all of whose biases are 2D)
+    bspec = pl.BlockSpec((1, dk), lambda l: (0, 0), memory_space=pltpu.VMEM)
     return blk, wspec, bspec
 
 
@@ -238,8 +240,10 @@ def _fwd_call(q, k, v, wq, bq, wk, bk, wg1, bg1, wg2, bg2, interpret):
         compiler_params=_vmem_params(),
     )(
         _pad_b(q, bp), _pad_b(k, bp), _pad_b(v, bp),
-        wq.astype(wdt), bq.astype(f32), wk.astype(wdt), bk.astype(f32),
-        wg1.astype(wdt), bg1.astype(f32), wg2.astype(wdt), bg2.astype(f32),
+        wq.astype(wdt), bq.astype(f32).reshape(1, -1),
+        wk.astype(wdt), bk.astype(f32).reshape(1, -1),
+        wg1.astype(wdt), bg1.astype(f32).reshape(1, -1),
+        wg2.astype(wdt), bg2.astype(f32).reshape(1, -1),
     )
     return out[:b]
 
@@ -259,7 +263,7 @@ def _agsa_bwd(interpret, res, g_out):
     wdt = q.dtype
     f32 = jnp.float32
     wshape = jax.ShapeDtypeStruct((dk, dk), f32)
-    bshape = jax.ShapeDtypeStruct((dk,), f32)
+    bshape = jax.ShapeDtypeStruct((1, dk), f32)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_n=grid),
         grid=(grid,),
@@ -273,23 +277,25 @@ def _agsa_bwd(interpret, res, g_out):
             + [wshape, bshape] * 4
         ),
         scratch_shapes=[
-            pltpu.VMEM((dk, dk), f32), pltpu.VMEM((dk,), f32),
+            pltpu.VMEM((dk, dk), f32), pltpu.VMEM((1, dk), f32),
         ] * 4,
         interpret=interpret,
         compiler_params=_vmem_params(),
     )(
         _pad_b(q, bp), _pad_b(k, bp), _pad_b(v, bp),
         _pad_b(g_out.astype(wdt), bp),
-        wq.astype(wdt), bq.astype(f32), wk.astype(wdt), bk.astype(f32),
-        wg1.astype(wdt), bg1.astype(f32), wg2.astype(wdt), bg2.astype(f32),
+        wq.astype(wdt), bq.astype(f32).reshape(1, -1),
+        wk.astype(wdt), bk.astype(f32).reshape(1, -1),
+        wg1.astype(wdt), bg1.astype(f32).reshape(1, -1),
+        wg2.astype(wdt), bg2.astype(f32).reshape(1, -1),
     )
     g_q, g_k, g_v, dwq, dbq, dwk, dbk, dwg1, dbg1, dwg2, dbg2 = outs
     return (
         g_q[:b], g_k[:b], g_v[:b],
-        dwq.astype(wq.dtype), dbq.astype(bq.dtype),
-        dwk.astype(wk.dtype), dbk.astype(bk.dtype),
-        dwg1.astype(wg1.dtype), dbg1.astype(bg1.dtype),
-        dwg2.astype(wg2.dtype), dbg2.astype(bg2.dtype),
+        dwq.astype(wq.dtype), dbq[0].astype(bq.dtype),
+        dwk.astype(wk.dtype), dbk[0].astype(bk.dtype),
+        dwg1.astype(wg1.dtype), dbg1[0].astype(bg1.dtype),
+        dwg2.astype(wg2.dtype), dbg2[0].astype(bg2.dtype),
     )
 
 
