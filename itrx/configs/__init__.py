@@ -48,7 +48,7 @@ def base_config() -> dict:
         tail=None,
         # server
         seed=0,
-        workers=8,          # accepted for CLI parity; prefetch threads here
+        workers=8,          # raw-image decode threads (precomp path needs none)
         # train
         resume=None,
         num_epochs=30,

@@ -130,3 +130,56 @@ def test_length_bucketed_sims_exact(rng):
     s4 = engine.cal_sims(M(), {}, img, cap, mask, img_tile=8, cap_tile=40,
                          verbose=False, length_buckets=4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s4), atol=1e-5)
+
+
+def test_budget_branches_exact(rng):
+    """Every staging/assembly branch the eval budgets select between must
+    reproduce the default device-resident path: (a) host-staged caption
+    stacks (the coco-testall offload path: numpy in, per-bucket re-upload,
+    host-side assembly), (b) forced host assembly of device-resident
+    buckets (`device_assembly_bytes`), (c) a starvation `slab_bytes` that
+    engages the tile-shrink loops.  Same fp32 math throughout — results
+    must agree to float tolerance."""
+    from itrx.ops import attention
+
+    ni, nc, r, l, d = 40, 300, 6, 24, 16
+    img = jnp.asarray(rng.standard_normal((ni, r, d)).astype(np.float32))
+    lengths = np.clip(rng.normal(9, 4, nc).astype(int), 3, l)
+    mask = jnp.asarray((np.arange(l)[None] < lengths[:, None]).astype(np.float32))
+    cap = jnp.asarray(
+        rng.standard_normal((nc, l, d)).astype(np.float32)
+    ) * mask[:, :, None]
+
+    class M:
+        def apply(self, v, i, c, m, train=False, method="similarity"):
+            return attention.xattn_score_t2i(i, c, m)
+
+    kw = dict(img_tile=64, cap_tile=256, verbose=False, length_buckets=4)
+    base = engine.cal_sims(M(), {}, img, cap, mask, **kw)
+
+    host = engine.cal_sims(M(), {}, img, np.asarray(cap), np.asarray(mask), **kw)
+    np.testing.assert_allclose(np.asarray(host), np.asarray(base), atol=1e-5)
+
+    asm = engine.cal_sims(
+        M(), {}, img, cap, mask, budgets={"device_assembly_bytes": 1}, **kw
+    )
+    np.testing.assert_allclose(np.asarray(asm), np.asarray(base), atol=1e-5)
+
+    slab = engine.cal_sims(
+        M(), {}, img, cap, mask, budgets={"slab_bytes": 1 << 12}, **kw
+    )
+    np.testing.assert_allclose(np.asarray(slab), np.asarray(base), atol=1e-5)
+
+
+def test_encode_offload_threshold(setup):
+    """offload_threshold_bytes=0 stages every stack to host numpy with
+    identical values to the device-resident default."""
+    d, cfg, ds, model, v = setup
+    dev = engine.encode_data(model, v, ds, cfg["batch_size"])
+    off = engine.encode_data(
+        model, v, ds, cfg["batch_size"], offload_threshold_bytes=0
+    )
+    assert set(dev) == set(off)
+    for k in dev:
+        assert isinstance(off[k], np.ndarray)
+        np.testing.assert_array_equal(np.asarray(dev[k]), off[k])
