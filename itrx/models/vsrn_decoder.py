@@ -145,18 +145,50 @@ class DecoderRNN(nn.Module):
                 words = jnp.where(wmask, words / keep, 0.0)
             gx_words = words @ w_words.T  # (B, T-1, 3H), hoisted
 
-            def step(dec_h, t):
-                context = attend(dec_h)
-                if drop_rng is not None:
-                    key = jax.random.fold_in(drop_rng, t)
-                    cmask = jax.random.bernoulli(key, keep, context.shape)
-                    context = jnp.where(cmask, context / keep, 0.0)
-                gx = gx_words[:, t] + context @ w_ctx.T + b_ih
-                dec_h = gru_cell(dec_h, gx, w_hh, b_hh)
-                return dec_h, dec_h
+            from ..ops.pallas import pallas_ok  # noqa: PLC0415 (trace gate)
 
-            steps = jnp.arange(self.max_len - 1)
-            _, hs = jax.lax.scan(step, encoder_hidden, steps)
+            if (
+                pallas_ok()
+                and encoder_outputs.dtype == jnp.bfloat16
+                and h % 128 == 0
+            ):
+                # fused decode: the whole teacher-forced loop (attention +
+                # GRU) runs as one Pallas grid with the carry in VMEM
+                # (itrx/ops/pallas/vsrn_dec.py).  Context-dropout masks for
+                # all steps are drawn up front (one bernoulli; a different
+                # but equally valid sample from the XLA path's per-step
+                # fold_in)
+                from ..ops.pallas.vsrn_dec import decoder_seq_auto
+
+                T = self.max_len - 1
+                bsz = words.shape[0]
+                if drop_rng is not None:
+                    ckey = jax.random.fold_in(drop_rng, 2 * self.max_len)
+                    cm = jax.random.bernoulli(
+                        ckey, keep, (T, bsz, h)
+                    ).astype(jnp.float32) / keep
+                else:
+                    cm = jnp.ones((T, bsz, h), jnp.float32)
+                hs = decoder_seq_auto(
+                    jnp.swapaxes(gx_words + b_ih, 0, 1), cm,
+                    encoder_outputs, enc_att, encoder_hidden,
+                    att_w1[encoder_outputs.shape[-1]:], att_w2,
+                    w_ctx, w_hh, b_hh,
+                ).astype(words.dtype)
+            else:
+
+                def step(dec_h, t):
+                    context = attend(dec_h)
+                    if drop_rng is not None:
+                        key = jax.random.fold_in(drop_rng, t)
+                        cmask = jax.random.bernoulli(key, keep, context.shape)
+                        context = jnp.where(cmask, context / keep, 0.0)
+                    gx = gx_words[:, t] + context @ w_ctx.T + b_ih
+                    dec_h = gru_cell(dec_h, gx, w_hh, b_hh)
+                    return dec_h, dec_h
+
+                steps = jnp.arange(self.max_len - 1)
+                _, hs = jax.lax.scan(step, encoder_hidden, steps)
             # the vocab projection + log_softmax do not feed the recurrence:
             # hoisted out of the sequential scan into one (T*B, H) x (H, V)
             # MXU matmul (numerically identical, ~60x larger matmul)
