@@ -16,9 +16,10 @@ attention tensor (B, R, H) never touches HBM.
 
 The backward is a second grid in reverse order: attention and gates are
 recomputed from the forward-saved carry sequence (h_{t-1}) and recurrent
-pre-activations, the carry cotangent stays in VMEM, and all six weight
-cotangents plus the encoder-side cotangents accumulate in fp32 VMEM
-scratch across the grid (AGSA pattern), written at the last step.
+pre-activations, the carry cotangent stays in VMEM, and all weight and
+encoder-side cotangents accumulate directly in their constant-index output
+blocks across the grid (zeroed at step 0, flushed to HBM once at the end —
+no scratch duplication of the ~26MB accumulator set).
 
 Inputs are pre-arranged by the caller (itrx/models/vsrn_decoder.py):
   gxw      (T, B, 3H) fp32 — words @ W_word^T + b_ih, hoisted
@@ -104,15 +105,18 @@ def _bwd_kernel(gxw_ref, cm_ref, hall_ref, ghall_ref, ghs_ref, enco_ref,
                 wctxT_ref,
                 ggxw_ref, gh0_ref, genco_ref, genca_ref, dwatt_ref, dw2_ref,
                 dwctxT_ref, dwhhT_ref, dbhh_ref,
-                gh_s, genco_s, genca_s, dwatt_s, dw2_s, dwctxT_s, dwhhT_s,
-                dbhh_s, *, grid_n, dot_dtype):
+                *, dot_dtype):
+    # Every constant-index output block doubles as its own accumulator
+    # (zeroed at the first grid step, revisited every step, flushed to HBM
+    # once at the end) — a separate scratch per accumulator would double
+    # ~26MB of VMEM at production shapes.  gh0_ref carries the running
+    # carry-cotangent; its final value IS g_h0.
     l = pl.program_id(0)
 
     @pl.when(l == 0)
     def _():
-        gh_s[:] = jnp.zeros(gh_s.shape, gh_s.dtype)
-        for ref in (genco_s, genca_s, dwatt_s, dw2_s, dwctxT_s, dwhhT_s,
-                    dbhh_s):
+        for ref in (gh0_ref, genco_ref, genca_ref, dwatt_ref, dw2_ref,
+                    dwctxT_ref, dwhhT_ref, dbhh_ref):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
     dt = dot_dtype
@@ -130,7 +134,7 @@ def _bwd_kernel(gxw_ref, cm_ref, hall_ref, ghall_ref, ghs_ref, enco_ref,
     hn = gh_lin[:, 2 * hid:]
 
     # GRU adjoint (same algebra as gru.py:_bwd_kernel, maskless)
-    g_ht = gh_s[:] + ghs_ref[0]
+    g_ht = gh0_ref[:] + ghs_ref[0]
     g_n = g_ht * (1.0 - z)
     g_z = g_ht * (h - n)
     g_prev = g_ht * z
@@ -146,36 +150,25 @@ def _bwd_kernel(gxw_ref, cm_ref, hall_ref, ghall_ref, ghs_ref, enco_ref,
     g_gh_d = g_gh.astype(dt)
     h_d = h.astype(dt)
     g_prev = g_prev + _dot(g_gh_d, whh_ref[:])
-    dwhhT_s[:] += _rowdot(h_d, g_gh_d)
-    dbhh_s[:] += jnp.sum(g_gh, axis=0, keepdims=True)
+    dwhhT_ref[:] += _rowdot(h_d, g_gh_d)
+    dbhh_ref[:] += jnp.sum(g_gh, axis=0, keepdims=True)
 
     # context / attention adjoints
     g_ctx = _dot(g_gx_d, wctx_ref[:])                 # (BP, H)
-    dwctxT_s[:] += _rowdot(ctx.astype(dt), g_gx_d)
+    dwctxT_ref[:] += _rowdot(ctx.astype(dt), g_gx_d)
     g_ctx_raw = g_ctx * cm
     g_alpha = jnp.sum(g_ctx_raw[:, None, :] * enco_f32, axis=-1)  # (BP, R)
-    genco_s[:] += alpha[:, :, None] * g_ctx_raw[:, None, :]
+    genco_ref[:] += alpha[:, :, None] * g_ctx_raw[:, None, :]
     g_e = alpha * (g_alpha - jnp.sum(g_alpha * alpha, axis=-1, keepdims=True))
     g_o = g_e[:, :, None] * w2b                       # (BP, R, H)
     g_pre = g_o * (1.0 - o * o)
-    genca_s[:] += g_pre
-    dw2_s[:] += jnp.sum(jnp.sum(g_e[:, :, None] * o, axis=0), axis=0,
-                        keepdims=True)
+    genca_ref[:] += g_pre
+    dw2_ref[:] += jnp.sum(jnp.sum(g_e[:, :, None] * o, axis=0), axis=0,
+                          keepdims=True)
     g_hq = jnp.sum(g_pre, axis=1)                     # (BP, H)
     g_prev = g_prev + _dot(g_hq.astype(dt), wattT_ref[:])
-    dwatt_s[:] += _rowdot(h_d, g_hq.astype(dt))
-    gh_s[:] = g_prev
-
-    @pl.when(l == grid_n - 1)
-    def _():
-        gh0_ref[:] = gh_s[:]
-        genco_ref[:] = genco_s[:]
-        genca_ref[:] = genca_s[:]
-        dwatt_ref[:] = dwatt_s[:]
-        dw2_ref[:] = dw2_s[:]
-        dwctxT_ref[:] = dwctxT_s[:]
-        dwhhT_ref[:] = dwhhT_s[:]
-        dbhh_ref[:] = dbhh_s[:]
+    dwatt_ref[:] += _rowdot(h_d, g_hq.astype(dt))
+    gh0_ref[:] = g_prev
 
 
 def _pad_rows(x, bp, axis):
@@ -188,10 +181,11 @@ def _pad_rows(x, bp, axis):
 
 
 def _vmem_params():
-    # dominant residents/scratches at B=128, R=36, H=512: enc_att fp32
-    # (9.4MB) + enc_out + weights (~9MB) fwd; the backward adds two
-    # (B, R, H) fp32 accumulators (18.9MB) and ~7MB of weight-cotangent
-    # scratch, with (B, R, H) fp32 transients on top.  v5e: 128MB/core.
+    # dominant residents at B=128, R=36, H=512: enc_att fp32 (9.4MB) +
+    # enc_out + weights (~9MB) fwd; the backward adds ~26MB of
+    # accumulating constant-index output blocks (two (B, R, H) fp32
+    # encoder cotangents + the weight set), with (B, R, H) fp32
+    # transients on top.  v5e: 128MB/core.
     return pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
 
 
@@ -284,7 +278,7 @@ def _dec_bwd(interpret, dot_dtype_str, res, g_hs):
     wattd = watt.astype(dt)
     wctxTd = wctxT.astype(dt)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_n=T, dot_dtype=dt),
+        functools.partial(_bwd_kernel, dot_dtype=dt),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, BP, H3), ridx, memory_space=pltpu.VMEM),
@@ -322,16 +316,6 @@ def _dec_bwd(interpret, dot_dtype_str, res, g_hs):
             jax.ShapeDtypeStruct((H, H3), jnp.float32),
             jax.ShapeDtypeStruct((H, H3), jnp.float32),
             jax.ShapeDtypeStruct((1, H3), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((BP, H), jnp.float32),
-            pltpu.VMEM((BP, R, H), jnp.float32),
-            pltpu.VMEM((BP, R, H), jnp.float32),
-            pltpu.VMEM((H, H), jnp.float32),
-            pltpu.VMEM((1, H), jnp.float32),
-            pltpu.VMEM((H, H3), jnp.float32),
-            pltpu.VMEM((H, H3), jnp.float32),
-            pltpu.VMEM((1, H3), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_vmem_params(),
