@@ -167,3 +167,56 @@ def test_decoder_sharded_matches_direct(rng):
             g_sharded = jax.jit(jax.grad(loss(decoder_seq_auto)))(args[5])
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_direct),
                                atol=3e-4, rtol=2e-3)
+
+
+def test_vsrn_bf16_train_step_uses_fused_decoder(rng):
+    """Full VSRN bf16 train step under force_interpret: the fused decoder
+    (and fused GRU) dispatch inside the loss/grad path, losses finite and
+    close to the XLA-path bf16 step."""
+    from itrx.models import get_model
+    from itrx.train.loop import make_train_step
+    from itrx.train.state import create_train_state
+
+    b, r, d, l, v = 8, 12, 64, 16, 120
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((b, r, d)).astype(np.float32)),
+        "cap_ids": jnp.asarray(rng.integers(0, v, (b, l)).astype(np.int32)),
+        "cap_mask": jnp.asarray(
+            (np.arange(l)[None] < rng.integers(3, l, (b,))[:, None]).astype(
+                np.float32
+            )
+        ),
+        "label_ids": jnp.asarray(rng.integers(0, v, (b, 13)).astype(np.int32)),
+        "label_mask": jnp.ones((b, 13), jnp.float32),
+    }
+    cfg = dict(
+        name="VSRN", vocab_size=v, embed_size=128, word_dim=32,
+        data_name="f30k_precomp", measure="cosine", use_abs=False,
+        no_imgnorm=False, no_txtnorm=False, margin=0.2, max_violation=False,
+        max_len=12, dim_hidden=128, dim_vid=d, dim_word=32,
+        input_dropout_p=0.2, learning_rate=1e-3, lr_update=15,
+        grad_clip=2.0, seed=0,
+    )
+    model = get_model(cfg)
+    key = jax.random.PRNGKey(0)
+
+    # the train step donates its state: build a fresh (identical, seeded)
+    # state per run
+    state, tx = create_train_state(model, cfg, batch, 10)
+    step = make_train_step(model, tx, compute_dtype="bfloat16")
+    _, aux_xla = step(state, batch, key, 0)  # pallas_ok() False on CPU
+    before = dispatch_counts().get("vsrn_dec_fused", 0)
+    state, tx = create_train_state(model, cfg, batch, 10)
+    with force_interpret():
+        step_f = make_train_step(model, tx, compute_dtype="bfloat16")
+        state_f, aux_fused = step_f(state, batch, key, 0)
+        # trace-time dispatch happens during the jit trace above
+    assert dispatch_counts().get("vsrn_dec_fused", 0) > before
+    lf, lx = float(aux_fused["Loss"]), float(aux_xla["Loss"])
+    assert np.isfinite(lf)
+    # dropout streams differ between the paths; losses stay in the same
+    # neighborhood
+    assert abs(lf - lx) / abs(lx) < 0.1, (lf, lx)
+    # parameters moved and stayed finite
+    leaf = jax.tree.leaves(state_f.params)[0]
+    assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
