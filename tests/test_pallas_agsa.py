@@ -123,3 +123,28 @@ def test_agsa_sharded_matches_direct(rng):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(direct), atol=3e-5, rtol=1e-4
     )
+
+
+def test_agsa_gradients_bf16_drift_bounded(rng):
+    """Production bf16 inputs: kernel gradients stay near the fp32 oracle
+    (the backward recomputes gates in the input dtype)."""
+    (q, k, v), w = _data(rng, b=4, h=3, n=8, dk=16)
+    cot = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    def loss_fused(*args):
+        out = agsa_attention(*args, True).astype(jnp.float32)
+        return jnp.sum(out * cot)
+
+    def loss_oracle(*args):
+        return jnp.sum(_xla_chain(*args) * cot)
+
+    b16 = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 5, 7, 9))(
+        b16(q), b16(k), b16(v), *w
+    )
+    g_ora = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 5, 7, 9))(q, k, v, *w)
+    for name, gf, gx in zip("q k v wq wk wg1 wg2".split(), g_fused, g_ora):
+        gf = np.asarray(gf, np.float32)
+        gx = np.asarray(gx, np.float32)
+        scale = max(np.abs(gx).max(), 1e-6)
+        assert np.max(np.abs(gf - gx)) / scale < 0.08, name
