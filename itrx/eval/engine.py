@@ -214,18 +214,38 @@ def cal_sims(
         (ni, nc), np.float32
     )
     prev_bound = 0
+    buckets = []
     for b in bounds:
         in_bucket = order[(lengths[order] > prev_bound) & (lengths[order] <= b)]
         prev_bound = b
-        if len(in_bucket) == 0:
-            continue
-        if host_staged:
-            # host-staged embeddings: upload just this bucket (cast to the
-            # compute dtype on host first — half the bytes over the wire)
-            caps_b = jnp.asarray(
-                _host_cast(cap_embs[in_bucket, :b], compute_dtype)
+        if len(in_bucket):
+            buckets.append((in_bucket, b))
+
+    if host_staged:
+        # host-staged embeddings: upload just each bucket (cast to the
+        # compute dtype on host first — half the bytes over the wire).
+        # The next bucket's host cast + upload dispatch run in a worker
+        # thread while the device scores the current one: the coco-testall
+        # fold is transfer-bound under slow interconnects, so the overlap
+        # hides the per-bucket compute entirely.
+        from concurrent.futures import ThreadPoolExecutor
+
+        cap_mask_np = np.asarray(cap_mask)
+        pool = ThreadPoolExecutor(1)
+
+        def _stage(ib, bnd):
+            return (
+                jnp.asarray(_host_cast(cap_embs[ib, :bnd], compute_dtype)),
+                jnp.asarray(cap_mask_np[ib, :bnd]),
             )
-            mask_b = jnp.asarray(np.asarray(cap_mask)[in_bucket, :b])
+
+        fut = pool.submit(_stage, *buckets[0])
+
+    for bi, (in_bucket, b) in enumerate(buckets):
+        if host_staged:
+            caps_b, mask_b = fut.result()
+            if bi + 1 < len(buckets):
+                fut = pool.submit(_stage, *buckets[bi + 1])
         else:
             idx = jnp.asarray(in_bucket)
             caps_b = cap_embs[:, :b][idx]
@@ -241,6 +261,8 @@ def cal_sims(
         else:
             sims[:, in_bucket] = np.asarray(s)
         del caps_b, mask_b, s
+    if host_staged:
+        pool.shutdown(wait=False)
     if on_device:
         # a tiny host transfer is the only real barrier under the axon
         # relay (block_until_ready does not synchronize there)
