@@ -183,3 +183,28 @@ def test_encode_offload_threshold(setup):
     for k in dev:
         assert isinstance(off[k], np.ndarray)
         np.testing.assert_array_equal(np.asarray(dev[k]), off[k])
+
+
+def test_budget_branches_bf16_host_cast(rng):
+    """Host-staged bf16 (worker-thread _host_cast + upload pipeline) equals
+    the device-resident bf16 cast path."""
+    from itrx.ops import attention
+
+    ni, nc, r, l, d = 16, 120, 4, 16, 8
+    img = jnp.asarray(rng.standard_normal((ni, r, d)).astype(np.float32))
+    lengths = np.clip(rng.normal(8, 3, nc).astype(int), 3, l)
+    mask = jnp.asarray((np.arange(l)[None] < lengths[:, None]).astype(np.float32))
+    cap = jnp.asarray(
+        rng.standard_normal((nc, l, d)).astype(np.float32)
+    ) * mask[:, :, None]
+
+    class M:
+        def apply(self, v, i, c, m, train=False, method="similarity"):
+            return attention.xattn_score_t2i(i, c, m)
+
+    kw = dict(img_tile=8, cap_tile=64, verbose=False, length_buckets=4,
+              compute_dtype="bfloat16")
+    dev = engine.cal_sims(M(), {}, img, cap, mask, **kw)
+    host = engine.cal_sims(M(), {}, img, np.asarray(cap), np.asarray(mask), **kw)
+    np.testing.assert_allclose(np.asarray(host), np.asarray(dev),
+                               atol=1e-6, rtol=1e-5)
