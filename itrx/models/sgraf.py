@@ -368,8 +368,17 @@ class EncoderSimilarity(nn.Module):
             self.embed_size, dropout_rate=self.sa_dropout, name="v_global_w"
         )(img_emb, img_ave, train=train)
 
-        denom = jnp.maximum(jnp.sum(cap_mask, axis=1, keepdims=True), 1.0)
-        cap_ave = jnp.sum(cap_emb * cap_mask[..., None], axis=1) / denom
+        # cast the mask WITH the activations: an fp32 mask multiplied into a
+        # bf16 caption stack silently promotes cap_ave -> cap_glo -> sim_glo
+        # back to fp32, which both slows the chain and flips sim_emb to fp32
+        # — disabling the fused SGR kernel's bf16 gate at eval (found via
+        # the eval-tile trace: the whole SGR chain ran as fp32 XLA fusions)
+        denom = jnp.maximum(
+            jnp.sum(cap_mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
+        )
+        cap_ave = jnp.sum(
+            cap_emb * cap_mask.astype(cap_emb.dtype)[..., None], axis=1
+        ) / denom.astype(cap_emb.dtype)
         cap_glo = TextSA(
             self.embed_size, dropout_rate=self.sa_dropout, name="t_global_w"
         )(cap_emb, cap_ave, cap_mask, train=train)

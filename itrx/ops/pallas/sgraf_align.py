@@ -38,6 +38,33 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-8
 
 
+def _pick_block_c(nc: int, l: int, bwd: bool = False) -> int:
+    """Captions per grid step.  The per-pair chain is tiny (~263 MFLOP at
+    block_c=8), so the fixed per-grid-step cost (block DMAs, semaphores)
+    dominates; target ~1536 caption-word rows per step (~1 GFLOP) for the
+    forward.  The backward holds the recomputed chain plus five more
+    row-major fp32 gradient tensors, so it targets half the rows."""
+    bc = max(1, (768 if bwd else 1536) // l)
+    return min(bc, nc)
+
+
+def _vmem_limit(bc, l, d, s_dim, rp, bwd):
+    """Scoped-VMEM request covering the kernel stack (the XLA default 16MB
+    is sized for streaming kernels; this one keeps a whole caption block's
+    fp32 chain resident — v5e has 128MB/core)."""
+    lane = lambda n: -(-n // 128) * 128
+    bcl = bc * l
+    row = lambda width, bytes_=4: bcl * lane(width) * bytes_
+    # grid-indexed blocks are double-buffered: cap (bf16/fp32), mask, out/g
+    blocks = 2 * (row(d, 2) + row(1) + bcl * lane(s_dim) * 2)
+    blocks += 4 * rp * d * 4 + d * s_dim * 2  # img block (x2) + weights
+    chain = 5 * row(rp) + 3 * row(d) + 2 * row(s_dim)
+    if bwd:
+        # gy/gdiff/gd/gctx/gcap + gcap_acc scratch + region-grad rows
+        chain += 6 * row(d) + 3 * row(rp) + 2 * row(s_dim)
+    return int(min(max((blocks + chain) * 1.25, 24 << 20), 100 << 20))
+
+
 def _dot(x, y, bf16, **kw):
     return jax.lax.dot_general(
         x, y, kw.pop("dims", (((1,), (0,)), ((), ()))),
@@ -210,6 +237,9 @@ def _align_fwd_impl(cap, mask, img, w, b, block_c, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((nc_pad, ni, l, s_dim), cap.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(block_c, l, d, s_dim, rp, bwd=False)
+        ),
     )(cap2d, imgr, maskf, colm, wk, bk)
     return out[:nc], (cap, mask, img, w, b)
 
@@ -224,6 +254,11 @@ def _align_vjp_bwd(block_c, interpret, res, g):
     ni = img.shape[0]
     s_dim = w.shape[1]
     bf16 = cap.dtype == jnp.bfloat16
+    # the backward's VMEM stack is ~2x the forward's (recomputed chain plus
+    # the gradient rows), so it picks its own, smaller caption block — each
+    # (caption, image) pair's chain is independent and gw/gb accumulate in
+    # fp32, so the block size never changes the math
+    block_c = min(block_c, _pick_block_c(nc, l, bwd=True))
     cap2d, maskf, imgr, colm, nc_pad, rp = _prep(cap, mask, img, block_c)
     wk = w.astype(cap.dtype)
     bk = b.reshape(1, s_dim).astype(jnp.float32)
@@ -267,6 +302,9 @@ def _align_vjp_bwd(block_c, interpret, res, g):
         ],
         scratch_shapes=[pltpu.VMEM((bcl, d), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(block_c, l, d, s_dim, rp, bwd=True)
+        ),
     )(cap2d, imgr, maskf, colm, wk, bk, g)
 
     gcap = gcap.reshape(nc_pad, l, d)[:nc].astype(cap.dtype)
@@ -278,9 +316,10 @@ def _align_vjp_bwd(block_c, interpret, res, g):
 sgraf_align.defvjp(_align_vjp_fwd, _align_vjp_bwd)
 
 
-def sgraf_align_auto(cap, mask, img, w, b, block_c: int = 8):
+def sgraf_align_auto(cap, mask, img, w, b, block_c: int | None = None):
     """Routing entry for the fused alignment: resolves interpret mode from
     the context and shard_maps over images when a mesh is active.
+    block_c=None picks the caption block adaptively (_pick_block_c).
 
     The grid's image axis is embarrassingly parallel: under a mesh each
     device runs the kernel for its image shard against the (replicated)
@@ -292,6 +331,8 @@ def sgraf_align_auto(cap, mask, img, w, b, block_c: int = 8):
     """
     from . import interpret_mode, record_dispatch, shard_mesh
 
+    if block_c is None:
+        block_c = _pick_block_c(cap.shape[0], cap.shape[1])
     interpret = interpret_mode()
     mesh = shard_mesh()
     if mesh is None:

@@ -79,10 +79,20 @@ def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
         }
         return _cast_stack(stack, dtype)
 
-    enc = encode_all()  # compile
+    def _drain(d):
+        # host transfer of every output = the only reliable barrier under
+        # the axon relay (block_until_ready does not synchronize there);
+        # without draining the compile call too, its compile + batch
+        # uploads bleed into the timed call (first-method encode(warm)
+        # used to read 40-50s of pure queue drain)
+        for v in d.values():
+            if v is not None:
+                np.asarray(v[-1])
+
+    _drain(encode_all())  # compile + drain pending uploads
     t0 = time.perf_counter()
     enc = encode_all()
-    np.asarray(enc["img"][-1])  # host transfer = encode barrier (axon relay)
+    _drain(enc)
     t_enc = time.perf_counter() - t0
 
     imgs = enc["img"][::im_div]

@@ -154,3 +154,56 @@ def test_sgraf_model_routes_sgr_kernel(rng):
         ))
     assert pallas.dispatch_counts().get("sgr_fused", 0) >= 1
     np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_sgraf_eval_bf16_path_routes_sgr_kernel(rng):
+    """Regression: the EVAL bf16 path (eval_bf16 casts embeddings to bf16 in
+    the engine's sim_fn; the model itself has sim_bf16 UNSET, and the caption
+    mask stays fp32) must still dispatch both fused kernels.  An fp32 mask
+    multiplied into the bf16 caption stack used to promote cap_ave → cap_glo
+    → sim_emb back to fp32, silently failing the SGR kernel's bf16 gate so
+    the whole graph-reasoning chain ran as fp32 XLA fusions (~70% of the
+    SGRAF eval tile)."""
+    import jax.numpy as jnp
+
+    from itrx.models import get_model
+    from itrx.ops import pallas
+
+    cfg = dict(
+        name="SGRAF", vocab_size=90, embed_size=128, word_dim=32,
+        sim_dim=128, bi_gru=True, no_imgnorm=False, no_txtnorm=False,
+        module_name="SGR", sgr_step=2, margin=0.2, max_violation=True,
+        sgraf_dropout=0.0, cap_chunk=8,  # note: no sim_bf16
+    )
+    model = get_model(cfg)
+    b, r, l = 6, 8, 16
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((b, r, 128)).astype(np.float32)),
+        "cap_ids": jnp.asarray(rng.integers(0, 90, (b, l)).astype(np.int32)),
+        "cap_mask": jnp.asarray(
+            (np.arange(l)[None] < rng.integers(4, l, (b,))[:, None]).astype(np.float32)
+        ),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    e = model.apply(variables, batch, train=False, method="embed")
+    want = np.asarray(model.apply(
+        variables, e["img"], e["cap"], e["cap_mask"],
+        train=False, method="similarity",
+    ))
+
+    # exactly what engine._sim_fn_for + the eval_bf16 cast hand the model
+    img = e["img"].astype(jnp.bfloat16)
+    cap = e["cap"].astype(jnp.bfloat16)
+    mask = e["cap_mask"].astype(jnp.float32)
+    pallas.reset_dispatch()
+    with pallas.force_interpret():
+        got = np.asarray(model.apply(
+            variables, img, cap, mask, train=False, method="similarity",
+        ))
+    counts = pallas.dispatch_counts()
+    assert counts.get("sgr_fused", 0) >= 1, counts
+    assert counts.get("sgraf_align", 0) >= 1, counts
+    np.testing.assert_allclose(got, want, atol=3e-2)

@@ -54,6 +54,41 @@ def test_align_forward_ragged_captions(rng):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_align_large_block_matches_chain(rng):
+    """Adaptive blocking (block_c ~ 1536//L captions per grid step) must be
+    a pure scheduling change: same numbers as the reference chain, ragged
+    caption count exercising the block padding."""
+    from itrx.ops.pallas.sgraf_align import _pick_block_c
+
+    cap, mask, img, w, b = _data(rng, nc=37, ni=5)
+    want = _ref_chain(cap, mask, img, w, b)
+    bc = _pick_block_c(cap.shape[0], cap.shape[1])
+    assert bc > 8  # the point of the test: a genuinely larger block
+    got = sgraf_align(cap, mask, img, w, b, bc, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_align_large_block_grads_match_chain(rng):
+    """Backward with a large forward block (its own smaller internal pick)
+    matches the XLA chain's gradients."""
+    cap, mask, img, w, b = _data(rng, nc=24, ni=3, l=8)
+    tgt = jnp.asarray(rng.standard_normal((24, 3, 8, 128)).astype(np.float32))
+
+    def loss_ref(cap, img, w, b):
+        return jnp.sum((_ref_chain(cap, mask, img, w, b) - tgt) ** 2)
+
+    def loss_ker(cap, img, w, b):
+        return jnp.sum((sgraf_align(cap, mask, img, w, b, 24, True) - tgt) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(cap, img, w, b)
+    got = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(cap, img, w, b)
+    for nm, a_, b_ in zip(("dcap", "dimg", "dw", "db"), want, got):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a_), atol=2e-3, rtol=2e-3, err_msg=nm
+        )
+
+
 def test_align_grads_match_chain(rng):
     cap, mask, img, w, b = _data(rng, nc=8, ni=4, l=8)
     tgt = jnp.asarray(rng.standard_normal((8, 4, 8, 128)).astype(np.float32))
