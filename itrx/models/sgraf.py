@@ -130,7 +130,7 @@ class _SAFBatchNorm(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, *, params_only: bool = False):
         # x, mask: (C, Ni, N); one BN channel
         scale = self.param("scale", nn.initializers.ones, (1,))
         bias = self.param("bias", nn.initializers.zeros, (1,))
@@ -140,6 +140,11 @@ class _SAFBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", nn.initializers.ones, None, (1,)
         )
+        if params_only:
+            return (
+                scale, bias,
+                jnp.asarray(ra_mean.value), jnp.asarray(ra_var.value),
+            )
         if not self.train:
             mean = jnp.asarray(ra_mean.value, jnp.float32)[0]
             var = jnp.asarray(ra_var.value, jnp.float32)[0]
@@ -182,8 +187,10 @@ class _SAFBNScope(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
-        return _SAFBatchNorm(train=self.train, name="BatchNorm_0")(x, mask)
+    def __call__(self, x, mask, *, params_only: bool = False):
+        return _SAFBatchNorm(train=self.train, name="BatchNorm_0")(
+            x, mask, params_only=params_only
+        )
 
 
 class AttentionFiltration(nn.Module):
@@ -199,7 +206,17 @@ class AttentionFiltration(nn.Module):
     cap_rows: int = 1
 
     @nn.compact
-    def __call__(self, sim_emb, node_mask):
+    def __call__(self, sim_emb, node_mask, *, params_only: bool = False):
+        if params_only:
+            # (kernel, bias) of attn_w + (scale, bias, mean, var) of the BN
+            # — for the fused eval kernel, which folds the eval-mode BN
+            # affine into the Linear (itrx/ops/pallas/sgraf_eval.py)
+            return (
+                XavierLinear(1, name="attn_w")(self.sim_dim, params_only=True),
+                _SAFBNScope(train=self.train, name="bn")(
+                    None, None, params_only=True
+                ),
+            )
         b, n, _ = sim_emb.shape
         c = self.cap_rows
         attn = XavierLinear(1, name="attn_w")(sim_emb)[..., 0]  # (B, N)
@@ -243,6 +260,81 @@ class _ChunkScorer(nn.Module):
         ni = img_emb.shape[0]
         c = cap_c.shape[0]
 
+        from ..ops.pallas import pallas_ok
+
+        d = img_emb.shape[-1]
+        kernel_shapes_ok = (
+            img_emb.dtype == jnp.bfloat16
+            and d % 128 == 0
+            and self.sim_dim % 128 == 0
+            and cap_c.shape[1] % 8 == 0
+        )
+        if (
+            not self.train
+            and self.module_name in ("SGR", "SAF")
+            and kernel_shapes_ok
+            and pallas_ok()
+        ):
+            # eval-only mega-fusion: alignment + all SGR steps + node-0
+            # extraction in ONE Pallas grid (itrx/ops/pallas/sgraf_eval.py).
+            # The (C*Ni, L+1, sim_dim) node tensor never touches HBM — at
+            # 1K-test scale the two-kernel train path still round-trips it
+            # four times (alignment write, global-node concat, SGR read,
+            # SGR per-step saves), which profiling showed was most of the
+            # eval's HBM traffic.  Only sim_glo (XLA, one matmul) and the
+            # final sim_eval_w Linear stay outside.
+            from ..ops.pallas.sgraf_eval import (
+                sgraf_eval_auto, sgraf_eval_saf_auto,
+            )
+
+            sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2
+            sim_glo = l2norm(
+                XavierLinear(self.sim_dim, name="sim_tranglo_w")(sim_glo),
+                axis=-1,
+            )  # (C, Ni, S)
+            w, bb = XavierLinear(self.sim_dim, name="sim_tranloc_w")(
+                d, params_only=True
+            )
+            if self.module_name == "SGR":
+                prm = [
+                    GraphReasoning(self.sim_dim, name=f"SGR_{i}")(
+                        None, None, params_only=True
+                    )
+                    for i in range(self.sgr_step)
+                ]
+                stack = lambda j, k_: jnp.stack([p[j][k_] for p in prm])
+                sim_vec = sgraf_eval_auto(
+                    cap_c, mask_c, img_emb, sim_glo, w, bb,
+                    stack(0, 0), stack(0, 1), stack(1, 0), stack(1, 1),
+                    stack(2, 0), stack(2, 1),
+                ).reshape(c * ni, self.sim_dim)
+            else:
+                (awk, awb), (bsc, bbi, bmean, bvar) = AttentionFiltration(
+                    self.sim_dim, train=self.train, cap_rows=c, name="SAF"
+                )(None, None, params_only=True)
+                # fold the eval-mode BatchNorm1d(1) affine into the Linear:
+                # BN(x) = x*a' + b' with a' = scale/sqrt(var+eps),
+                # b' = bias - mean*a'
+                f32 = jnp.float32
+                aprime = bsc.astype(f32)[0] * jax.lax.rsqrt(
+                    bvar.astype(f32)[0] + 1e-5
+                )
+                bprime = bbi.astype(f32)[0] - bmean.astype(f32)[0] * aprime
+                awf = (awk[:, 0].astype(f32) * aprime).reshape(
+                    1, self.sim_dim
+                )
+                abf = jnp.full(
+                    (1, self.sim_dim),
+                    awb.astype(f32)[0] * aprime + bprime, f32,
+                )
+                sim_vec = sgraf_eval_saf_auto(
+                    cap_c, mask_c, img_emb, sim_glo, w, bb, awf, abf,
+                ).reshape(c * ni, self.sim_dim)
+            sim_i = jax.nn.sigmoid(
+                XavierLinear(1, name="sim_eval_w")(sim_vec).astype(jnp.float32)
+            )[:, 0]
+            return sim_i.reshape(c, ni).T  # (Ni, C)
+
         def _norm(x, axis):
             # l2 normalization with fp32-accumulated sum of squares (bf16
             # accumulation over 1024-d axes drifts); XLA fuses the cast into
@@ -251,17 +343,8 @@ class _ChunkScorer(nn.Module):
             inv = (1.0 / (safe_sqrt(sq) + 1e-8)).astype(x.dtype)
             return x * inv
 
-        from ..ops.pallas import pallas_ok
-
         loc_proj = XavierLinear(self.sim_dim, name="sim_tranloc_w")
-        d = img_emb.shape[-1]
-        if (
-            img_emb.dtype == jnp.bfloat16
-            and d % 128 == 0
-            and self.sim_dim % 128 == 0
-            and cap_c.shape[1] % 8 == 0
-            and pallas_ok()
-        ):
+        if kernel_shapes_ok and pallas_ok():
             # fused Pallas path (bf16): the whole alignment chain — raw
             # dots, word-norm, region softmax, context, squared diff,
             # projection, l2norm — runs in VMEM per (caption-block, image)

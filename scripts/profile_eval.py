@@ -1,0 +1,100 @@
+"""Profile one method's f30k-1K eval (sims + R@K) on the TPU.
+
+Usage: python scripts/profile_eval.py METHOD [k=v ...] [--top=N] [--fp32]
+
+Same shapes/body as scripts/eval_bench.py; wraps one warm full_eval in
+jax.profiler.trace and summarizes the device lanes via
+scripts/profile_step.summarize.
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from itrx.eval import engine, metrics
+from itrx.models import get_model
+from train_bench import method_config, _parse
+from profile_step import summarize, TRACE_DIR
+
+
+def main():
+    argv = sys.argv[1:]
+    top_n = 40
+    dtype = "bfloat16"
+    which = None
+    overrides = {}
+    for a in argv:
+        if a.startswith("--top="):
+            top_n = int(a.split("=")[1])
+        elif a == "--fp32":
+            dtype = None
+        elif "=" in a:
+            k, v = a.split("=", 1)
+            overrides[k] = _parse(v)
+        else:
+            which = a
+    assert which, "METHOD required"
+
+    from eval_bench import bench_method, _cast_stack
+
+    cfg, batch0 = method_config(which)
+    cfg.update(overrides)
+    model = get_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {k: jnp.asarray(v) for k, v in batch0.items()},
+        train=True,
+    )
+    embed_fn = engine._embed_fn_for(model)
+    n_images, im_div = 1000, 5
+    n_caps = n_images * im_div
+    batches = [batch0]
+    bsz = next(iter(batch0.values())).shape[0]
+    while bsz * len(batches) < n_caps:
+        batches.append(method_config(which)[1])
+    outs = [
+        embed_fn(variables, {k: jnp.asarray(v) for k, v in b.items()})
+        for b in batches
+    ]
+    stack = {
+        k: jnp.concatenate([o[k] for o in outs], axis=0)[:n_caps]
+        for k in outs[0]
+    }
+    enc = _cast_stack(stack, dtype)
+    imgs = enc["img"][::im_div]
+    cap_embs, cap_mask = enc["cap"], enc.get("cap_mask")
+
+    def full_eval(img_in):
+        sims = engine.cal_sims(
+            model, variables, img_in, cap_embs, cap_mask,
+            img_tile=cfg.get("eval_img_tile", 256),
+            cap_tile=cfg.get("eval_cap_tile", 1024),
+            verbose=False,
+            compute_dtype=dtype,
+            budgets=engine._eval_budgets(cfg),
+        )
+        return metrics.cal_recall(sims, cap_ratio=im_div, verbose=False)
+
+    full_eval(imgs)  # compile + warm
+    full_eval(imgs * (1.0 + 1e-6))
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    import time
+
+    with jax.profiler.trace(TRACE_DIR):
+        t0 = time.perf_counter()
+        full_eval(imgs * (1.0 + 2e-6))
+        t = time.perf_counter() - t0
+    print(f"{which}: profiled eval {t:.3f}s [{n_images}x{n_caps}, "
+          f"{dtype or 'float32'}]", flush=True)
+    summarize(top_n=top_n, steps=1)
+
+
+if __name__ == "__main__":
+    main()

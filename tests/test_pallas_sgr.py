@@ -152,7 +152,9 @@ def test_sgraf_model_routes_sgr_kernel(rng):
             variables, e["img"], e["cap"], e["cap_mask"],
             train=False, method="similarity",
         ))
-    assert pallas.dispatch_counts().get("sgr_fused", 0) >= 1
+    # eval routes the mega-fused kernel (alignment + SGR + node 0 in one
+    # grid, itrx/ops/pallas/sgraf_eval.py); sgr_fused remains the train path
+    assert pallas.dispatch_counts().get("sgraf_eval_fused", 0) >= 1
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 
@@ -204,6 +206,8 @@ def test_sgraf_eval_bf16_path_routes_sgr_kernel(rng):
             variables, img, cap, mask, train=False, method="similarity",
         ))
     counts = pallas.dispatch_counts()
-    assert counts.get("sgr_fused", 0) >= 1, counts
-    assert counts.get("sgraf_align", 0) >= 1, counts
+    # the eval mega-kernel subsumes both sgraf_align and sgr_fused; if the
+    # mask promotion regressed, sim_emb would flip to fp32 and neither the
+    # mega-kernel nor the two-kernel path would dispatch
+    assert counts.get("sgraf_eval_fused", 0) >= 1, counts
     np.testing.assert_allclose(got, want, atol=3e-2)

@@ -1,0 +1,180 @@
+"""Fused SGRAF-SGR eval mega-kernel (alignment + reasoning + node-0) vs the
+XLA/two-kernel paths — interpret mode on CPU, incl. the 8-device mesh
+routing.
+
+The kernel is eval-only (no VJP): itrx/ops/pallas/sgraf_eval.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from itrx.models.sgraf import EncoderSimilarity
+from itrx.ops import pallas as pk
+from itrx.ops.pallas.sgraf_eval import sgraf_eval_score
+
+
+def _data(rng, ni=6, nc=13, r=12, l=16, d=256, dtype=jnp.float32):
+    img = jnp.asarray(rng.standard_normal((ni, r, d)).astype(np.float32))
+    cap = jnp.asarray(rng.standard_normal((nc, l, d)).astype(np.float32))
+    lens = rng.integers(3, l + 1, nc)
+    mask = jnp.asarray((np.arange(l)[None] < lens[:, None]).astype(np.float32))
+    return img.astype(dtype), cap.astype(dtype), mask
+
+
+def _model_and_vars(rng, d=256, cap_chunk=8, sgr_step=3):
+    img, cap, mask = _data(rng, d=d)
+    m = EncoderSimilarity(
+        embed_size=d, sim_dim=256, module_name="SGR", sgr_step=sgr_step,
+        cap_chunk=cap_chunk,
+    )
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, cap, mask, train=False)
+    return m, v
+
+
+def test_eval_kernel_matches_xla_path_fp32(rng):
+    """fp32 interpret run of the mega-kernel equals the XLA eval path to
+    float tolerance (same math, different op order)."""
+    m, v = _model_and_vars(rng)
+    img, cap, mask = _data(rng, ni=5, nc=11)
+    want = m.apply(v, img, cap, mask, train=False)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        got = m.apply(v, img.astype(jnp.bfloat16).astype(jnp.float32),
+                      cap, mask, train=False)
+    # fp32 inputs do not pass the bf16 gate: the XLA path must have run
+    assert pk.dispatch_counts().get("sgraf_eval_fused", 0) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_eval_kernel_matches_xla_path_bf16(rng):
+    """bf16 eval (the production eval_bf16 routing) dispatches the fused
+    eval kernel and matches the XLA bf16 path within bf16 drift."""
+    m, v = _model_and_vars(rng)
+    img, cap, mask = _data(rng, ni=7, nc=13, dtype=jnp.bfloat16)
+    ref = m.apply(v, img, cap, mask, train=False)  # XLA (no routing on CPU)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        got = m.apply(v, img, cap, mask, train=False)
+    assert pk.dispatch_counts().get("sgraf_eval_fused", 0) >= 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_eval_kernel_train_path_untouched(rng):
+    """train=True must keep the two-kernel (VJP-capable) routing."""
+    m, v = _model_and_vars(rng)
+    img, cap, mask = _data(rng, dtype=jnp.bfloat16)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        m.apply(v, img, cap, mask, train=True,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+    counts = pk.dispatch_counts()
+    assert counts.get("sgraf_eval_fused", 0) == 0
+    assert counts.get("sgraf_align", 0) >= 1
+    assert counts.get("sgr_fused", 0) >= 1
+
+
+def test_eval_kernel_node0_trim_exact(rng):
+    """The trimmed last step (one query/context row) must equal running the
+    full last step and slicing node 0 — directly against the raw kernel."""
+    d, s, steps = 256, 256, 3
+    img, cap, mask = _data(rng, ni=4, nc=9, l=16, d=d)
+    w = jnp.asarray((rng.standard_normal((d, s)) * 0.05).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(s) * 0.01).astype(np.float32))
+    glo = jnp.asarray(rng.standard_normal((9, 4, s)).astype(np.float32))
+    wq = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
+    bq = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
+    wk = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
+    bk = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
+    wg = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
+    bg = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
+
+    got = sgraf_eval_score(cap, mask, img, w, b, glo,
+                           wq, bq, wk, bk, wg, bg, interpret=True)
+
+    # reference: alignment chain + FULL GraphReasoning steps, slice node 0
+    from tests.test_sgraf_align import _ref_chain
+
+    sim_loc = _ref_chain(cap, mask, img, w, b)  # (C, Ni, L, S)
+    nc, ni, l, _ = sim_loc.shape
+    nodes = jnp.concatenate(
+        [jnp.transpose(glo, (0, 1, 2))[:, :, None, :], sim_loc], axis=2
+    ).reshape(nc * ni, l + 1, s)
+    nmask = jnp.concatenate(
+        [jnp.ones((nc, 1), jnp.float32), mask], axis=1
+    )
+    nmask = jnp.broadcast_to(nmask[:, None, :], (nc, ni, l + 1)).reshape(
+        nc * ni, l + 1
+    )
+    for i in range(steps):
+        q = nodes @ wq[i] + bq[i]
+        k = nodes @ wk[i] + bk[i]
+        e = jnp.einsum("bnd,bmd->bnm", q, k)
+        e = jnp.where(nmask[:, None, :] > 0, e, -1e18)
+        a = jax.nn.softmax(e, axis=-1)
+        nodes = jax.nn.relu(jnp.einsum("bnm,bmd->bnd", a, nodes) @ wg[i] + bg[i])
+    want = nodes[:, 0, :].reshape(nc, ni, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_eval_saf_kernel_matches_xla_path_bf16(rng):
+    """SAF variant: fused eval (BN affine folded into the attention Linear)
+    dispatches and matches the XLA eval path within bf16 drift."""
+    img, cap, mask = _data(rng, ni=6, nc=11)
+    m = EncoderSimilarity(
+        embed_size=256, sim_dim=256, module_name="SAF", cap_chunk=8
+    )
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, cap, mask, train=False)
+    # perturb the BN running stats away from the (0, 1) init so the fold
+    # actually has something to fold
+    v = jax.tree_util.tree_map(lambda x: x, v)
+    bs = v["batch_stats"]["scorer"]["SAF"]["bn"]["BatchNorm_0"]
+    bs["mean"] = jnp.asarray([0.37])
+    bs["var"] = jnp.asarray([2.1])
+    imgb, capb = img.astype(jnp.bfloat16), cap.astype(jnp.bfloat16)
+    ref = m.apply(v, imgb, capb, mask, train=False)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        got = m.apply(v, imgb, capb, mask, train=False)
+    assert pk.dispatch_counts().get("sgraf_eval_saf_fused", 0) >= 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-2)
+
+
+def test_eval_saf_train_path_untouched(rng):
+    """SAF train=True keeps the per-caption-BN XLA path (the fused kernel
+    is eval-only: train-mode SAF BN needs batch stats + mutation)."""
+    img, cap, mask = _data(rng, dtype=jnp.bfloat16)
+    m = EncoderSimilarity(
+        embed_size=256, sim_dim=256, module_name="SAF", cap_chunk=8
+    )
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, cap, mask, train=False)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        m.apply(v, img, cap, mask, train=True,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+    assert pk.dispatch_counts().get("sgraf_eval_saf_fused", 0) == 0
+
+
+def test_eval_kernel_sharded_matches_direct(rng):
+    """8-device mesh: the shard_mapped eval kernel (images over 'dp')
+    produces the same scores as the direct single-device call."""
+    from itrx.parallel import mesh as pmesh
+
+    m, v = _model_and_vars(rng)
+    img, cap, mask = _data(rng, ni=11, nc=13, dtype=jnp.bfloat16)
+
+    with pk.force_interpret():
+        direct = m.apply(v, img, cap, mask, train=False)
+        pk.reset_dispatch()
+        mesh = pmesh.make_mesh(devices=jax.devices()[:8])
+        with pk.shard_ctx(mesh):
+            sharded = m.apply(v, img, cap, mask, train=False)
+    assert pk.dispatch_counts().get("sgraf_eval_fused_sharded", 0) >= 1
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                               atol=2e-6, rtol=2e-6)
