@@ -38,17 +38,49 @@ def _pad_to(x, n, axis=0):
 
 
 @functools.lru_cache(maxsize=64)
-def _embed_fn_for(model, mesh=None):
+def _embed_fn_for(model, mesh=None, encode_dtype=None):
     """Per-model jitted embed, cached so repeated eval calls don't retrace.
 
     With a mesh, the batch arrives 'dp'-sharded and the Pallas routing
-    context is active, so the fused kernels run shard_mapped per chip."""
+    context is active, so the fused kernels run shard_mapped per chip.
+
+    `encode_dtype='bfloat16'` (the `encode_bf16` config flag) runs the embed
+    FORWARD itself in bf16 — params and float batch fields cast at the
+    boundary with the same discipline as make_train_step (loop.py:43-65):
+    box geometry stays fp32 (thin boxes collapse under bf16 quantization),
+    and output masks are restored to fp32 for the engine's bucket/length
+    arithmetic.  Encode dominates end-to-end eval for the BERT/GCN methods;
+    a 12-layer fp32 BERT over 25k captions is compute-bound on chip."""
     from ..ops.pallas import shard_ctx
+
+    cdt = jnp.dtype(encode_dtype) if encode_dtype is not None else None
+    _KEEP_F32 = ("boxes", "imgs_wh")
+
+    def _cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     @jax.jit
     def f(variables, batch):
+        if cdt is not None:
+            kept = {k: batch[k] for k in _KEEP_F32 if k in batch}
+            batch = dict(_cast({k: v for k, v in batch.items() if k not in kept}))
+            batch.update(kept)
+            variables = _cast(variables)
         with shard_ctx(mesh):
-            return model.apply(variables, batch, train=False, method="embed")
+            out = model.apply(variables, batch, train=False, method="embed")
+        if cdt is not None:
+            # masks travel fp32 downstream (bucket length sums, tile pads)
+            out = {
+                k: v.astype(jnp.float32) if "mask" in k and v.dtype == cdt
+                else v
+                for k, v in out.items()
+            }
+        return out
 
     return f
 
@@ -74,7 +106,7 @@ def _sim_fn_for(model, mesh=None):
 
 def encode_data(model, variables, dataset, batch_size: int,
                 offload_threshold_bytes: int = 3 << 30, mesh=None,
-                compute_dtype=None):
+                compute_dtype=None, encode_dtype=None):
     """Encode a full split; returns dict of stacked embeddings (+masks).
 
     Mirror of ref encode_data (evaluation.py:75-121).  Embeddings whose full
@@ -93,10 +125,15 @@ def encode_data(model, variables, dataset, batch_size: int,
 
     With a mesh (and a dp-divisible batch size), each eval batch is sharded
     over 'dp' so encoding parallelizes across chips.
+
+    `encode_dtype='bfloat16'` additionally runs the embed forward itself in
+    bf16 (see _embed_fn_for) — the stacks then come back bf16 regardless of
+    `compute_dtype`.
     """
     if mesh is not None and batch_size % mesh.shape.get("dp", 1) != 0:
         mesh = None
-    embed_fn = _embed_fn_for(model, mesh)
+    edt = jnp.dtype(encode_dtype).name if encode_dtype is not None else None
+    embed_fn = _embed_fn_for(model, mesh, edt)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -125,10 +162,36 @@ def encode_data(model, variables, dataset, batch_size: int,
             for k, v in e.items()
         }
 
+    # Double-buffered encode: a producer thread assembles batch k+1 on host
+    # and dispatches its device upload while the device embeds batch k (the
+    # train-side prefetch, loop.py, is the template; `place` keeps the mesh
+    # device_put path).  Encode is the longest phase of the production eval
+    # bench — the upload latency hides entirely under the embed.
+    import threading
+    from queue import Queue
+
+    q: Queue = Queue(maxsize=2)
+    _END = object()
+
+    def _producer():
+        try:
+            for batch in dataset.eval_batches(batch_size):
+                nv = batch.pop("n_valid")
+                q.put(({k: place(v) for k, v in batch.items()}, nv))
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            q.put(e)
+
+    threading.Thread(target=_producer, daemon=True).start()
     outs = []
-    for batch in dataset.eval_batches(batch_size):
-        n_valid = batch.pop("n_valid")
-        e = embed_fn(variables, {k: place(v) for k, v in batch.items()})
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        placed, n_valid = item
+        e = embed_fn(variables, placed)
         outs.append((_cast_out(e), n_valid))
 
     keys = outs[0][0].keys()
@@ -466,14 +529,40 @@ def _eval_budgets(config) -> dict:
     }
 
 
+def _eval_mesh(config):
+    """Mesh for the offline eval surface (test.py -> evalrank_*).
+
+    Same policy as fit() (train/loop.py:359-378): config['mesh_shape'] when
+    set, else a 1-D 'dp' mesh over every visible device when there is more
+    than one.  On a multi-chip host this both parallelizes encode/cal_sims
+    over ICI and makes pallas_ok() True inside shard_ctx, so the fused eval
+    kernels engage — without it the reference's primary published-number
+    workflow (ref test.py:1-20 -> evaluation.py:262-435) would run on one
+    chip with the kernels off.  Returns None single-device (direct routing).
+    """
+    if not (config.get("mesh_shape") or jax.device_count() > 1):
+        return None
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(config)
+    if mesh.size <= 1:
+        return None
+    print(f"=> eval mesh over {mesh.size} devices: {dict(mesh.shape)}")
+    return mesh
+
+
 def evaluate_split(model, variables, dataset, config, fold5: bool = False, mesh=None):
     """encode -> dedup images -> sims -> recalls.  Returns the result dict."""
-    cdt = "bfloat16" if config.get("eval_bf16") else None
+    edt = "bfloat16" if config.get("encode_bf16") else None
+    # a bf16 embed forward hands bf16 stacks to the sim grid either way, so
+    # encode_bf16 implies the bf16 eval compute path (fp32 accumulation)
+    cdt = "bfloat16" if (config.get("eval_bf16") or edt) else None
     enc = encode_data(
         model, variables, dataset, config["batch_size"],
         offload_threshold_bytes=config.get("eval_offload_bytes", 3 << 30),
         mesh=mesh,
         compute_dtype=cdt,
+        encode_dtype=edt,
     )
     img_embs = enc["img"]
     cap_embs = enc["cap"]
@@ -611,7 +700,9 @@ def evalrank_single(model_path, data_path=None, split="dev", fold5=False):
     print(f"Loading dataset : {config['data_name']} ......")
     dataset, _ = precomp.get_test_loader(split, config)
     print("Computing results...")
-    res = evaluate_split(model, variables, dataset, config, fold5=fold5)
+    res = evaluate_split(
+        model, variables, dataset, config, fold5=fold5, mesh=_eval_mesh(config)
+    )
     _dump_result(res, model_path, "single")
     return res
 
@@ -624,12 +715,16 @@ def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold
     model2, variables2, config2, _ = _load_model_for_eval(model_path2, data_path)
 
     dataset, _ = precomp.get_test_loader(split, config)
+    mesh = _eval_mesh(config)
 
     def sims_of(m, v, cfg):
+        edt = "bfloat16" if cfg.get("encode_bf16") else None
         return encode_data(
             m, v, dataset, cfg["batch_size"],
             offload_threshold_bytes=cfg.get("eval_offload_bytes", 3 << 30),
-            compute_dtype="bfloat16" if cfg.get("eval_bf16") else None,
+            compute_dtype="bfloat16" if (cfg.get("eval_bf16") or edt) else None,
+            mesh=mesh,
+            encode_dtype=edt,
         )
 
     enc1 = sims_of(model, variables, config)
@@ -646,7 +741,10 @@ def evalrank_ensemble(model_path, model_path2, data_path=None, split="dev", fold
             m, v, img[::im_div if sl is None else 5], cap, mask,
             img_tile=cfg.get("eval_img_tile", 256),
             cap_tile=cfg.get("eval_cap_tile", 1024),
-            compute_dtype="bfloat16" if cfg.get("eval_bf16") else None,
+            mesh=mesh,
+            compute_dtype="bfloat16"
+            if (cfg.get("eval_bf16") or cfg.get("encode_bf16")) else None,
+            budgets=_eval_budgets(cfg),
         )
 
     if not fold5:

@@ -112,7 +112,9 @@ def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
     full_eval(imgs)  # compile + warm
     times = []
     for k in range(reps):
-        img_k = imgs * (1.0 + 1e-6 * (k + 1))
+        # factor must be representable in bf16 (spacing at 1.0 is 2^-8);
+        # 1+1e-6 rounds back to exactly 1.0 and defeats the perturbation
+        img_k = imgs * (1.0 + (k + 1) / 256.0)
         t0 = time.perf_counter()
         full_eval(img_k)
         times.append(time.perf_counter() - t0)

@@ -42,7 +42,7 @@ def main():
             which = a
     assert which, "METHOD required"
 
-    from eval_bench import bench_method, _cast_stack
+    from eval_bench import _cast_stack
 
     cfg, batch0 = method_config(which)
     cfg.update(overrides)
@@ -83,13 +83,16 @@ def main():
         return metrics.cal_recall(sims, cap_ratio=im_div, verbose=False)
 
     full_eval(imgs)  # compile + warm
-    full_eval(imgs * (1.0 + 1e-6))
+    # perturbation factors must be representable in bf16 (spacing at 1.0 is
+    # 2^-8): 1+1e-6 would round back to exactly 1.0 and the relay could
+    # serve a cached result (CLAUDE.md timing rule)
+    full_eval(imgs * (1.0 + 1.0 / 256))
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     import time
 
     with jax.profiler.trace(TRACE_DIR):
         t0 = time.perf_counter()
-        full_eval(imgs * (1.0 + 2e-6))
+        full_eval(imgs * (1.0 + 2.0 / 256))
         t = time.perf_counter() - t0
     print(f"{which}: profiled eval {t:.3f}s [{n_images}x{n_caps}, "
           f"{dtype or 'float32'}]", flush=True)

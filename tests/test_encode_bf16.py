@@ -1,0 +1,96 @@
+"""encode_bf16: the embed FORWARD runs in bf16 (round-4 verdict item 3).
+
+Bounds: embeddings stay close to the fp32 forward (l2-normalized outputs,
+GRU recurrence <= 32 steps), masks come back fp32, and end-to-end recalls
+through evaluate_split drift by at most one rank flip on the synthetic
+test split.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from itrx.data import precomp, synthetic
+from itrx.eval import engine
+from itrx.models import get_model
+
+
+@pytest.fixture(scope="module")
+def scan_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("encbf16")
+    d = synthetic.generate(str(root / "synthetic"), n_images=120, img_dim=32)
+    cfg = {
+        "name": "SCAN",
+        "data_path": os.path.dirname(d),
+        "data_name": os.path.basename(d),
+        "vocab_path": os.path.join(d, "vocab"),
+        "vocab_type": "json",
+        "text_encoder": "gru",
+        "use_bbox": False,
+        "max_words": 32,
+        "pad_words": 96,
+        "max_len": 60,
+        "batch_size": 24,
+        "embed_size": 32,
+        "word_dim": 16,
+        "img_dim": 32,
+        "bi_gru": True,
+        "no_imgnorm": False,
+        "no_txtnorm": True,
+        "precomp_enc_type": "basic",
+        "margin": 0.2,
+        "max_violation": True,
+        "cross_attn": "t2i",
+        "raw_feature_norm": "clipped_l2norm",
+        "agg_func": "LogSumExp",
+        "lambda_lse": 6.0,
+        "lambda_softmax": 9.0,
+    }
+    ds = precomp.PrecompDataset(d, "test", cfg)
+    cfg["vocab_size"] = ds.vocab_size
+    model = get_model(cfg)
+    batch = next(iter(ds.eval_batches(cfg["batch_size"])))
+    batch.pop("n_valid")
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {k: jnp.asarray(x) for k, x in batch.items()}, train=True,
+    )
+    return cfg, ds, model, v
+
+
+def test_encode_bf16_stack_dtypes_and_closeness(scan_setup):
+    cfg, ds, model, v = scan_setup
+    enc32 = engine.encode_data(model, v, ds, cfg["batch_size"])
+    enc16 = engine.encode_data(
+        model, v, ds, cfg["batch_size"], encode_dtype="bfloat16"
+    )
+    assert enc16["img"].dtype == jnp.bfloat16
+    assert enc16["cap"].dtype == jnp.bfloat16
+    # masks must come back fp32 for the engine's length/bucket arithmetic
+    assert enc16["cap_mask"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(enc16["cap_mask"]), np.asarray(enc32["cap_mask"])
+    )
+    # l2-normalized embeddings: bf16 forward stays close to fp32
+    for k in ("img", "cap"):
+        a = np.asarray(enc16[k], np.float32)
+        b = np.asarray(enc32[k])
+        assert np.max(np.abs(a - b)) < 0.05, (k, np.max(np.abs(a - b)))
+
+
+def test_encode_bf16_recall_drift(scan_setup):
+    """evaluate_split with encode_bf16 must stay within one rank flip per
+    direction of the fp32-encode run (30 test images / 150 captions: one
+    i2t flip = 3.34pp, one t2i flip = 0.67pp)."""
+    cfg, ds, model, v = scan_setup
+    r32 = engine.evaluate_split(model, v, ds, cfg, mesh=None)
+    r16 = engine.evaluate_split(
+        model, v, ds, dict(cfg, encode_bf16=True), mesh=None
+    )
+    for k in ("i2t_r1", "i2t_r5", "i2t_r10"):
+        assert abs(r32[k] - r16[k]) <= 3.4, (k, r32[k], r16[k])
+    for k in ("t2i_r1", "t2i_r5", "t2i_r10"):
+        assert abs(r32[k] - r16[k]) <= 1.4, (k, r32[k], r16[k])

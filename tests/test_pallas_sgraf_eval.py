@@ -178,3 +178,29 @@ def test_eval_kernel_sharded_matches_direct(rng):
     assert pk.dispatch_counts().get("sgraf_eval_fused_sharded", 0) >= 1
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_eval_saf_kernel_sharded_matches_direct(rng):
+    """SAF variant on the 8-device mesh: the shard_map branch has its own
+    argument reordering and image/glo padding (ni=11 over 8 devices pads to
+    16) — it must equal the direct single-device call."""
+    from itrx.parallel import mesh as pmesh
+
+    img, cap, mask = _data(rng, ni=11, nc=13, dtype=jnp.bfloat16)
+    m = EncoderSimilarity(
+        embed_size=256, sim_dim=256, module_name="SAF", cap_chunk=8
+    )
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, cap, mask, train=False)
+    bs = v["batch_stats"]["scorer"]["SAF"]["bn"]["BatchNorm_0"]
+    bs["mean"] = jnp.asarray([0.37])
+    bs["var"] = jnp.asarray([2.1])
+
+    with pk.force_interpret():
+        direct = m.apply(v, img, cap, mask, train=False)
+        pk.reset_dispatch()
+        mesh = pmesh.make_mesh(devices=jax.devices()[:8])
+        with pk.shard_ctx(mesh):
+            sharded = m.apply(v, img, cap, mask, train=False)
+    assert pk.dispatch_counts().get("sgraf_eval_saf_fused_sharded", 0) >= 1
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                               atol=2e-6, rtol=2e-6)
