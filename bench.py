@@ -111,7 +111,9 @@ def main():
         res = full_eval(imgs, dtype)  # warmup/compile
         times = []
         for k in range(3):
-            img_k = imgs * (1.0 + 1e-6 * (k + 1))
+            # perturbation must survive the bf16 tile cast (bf16 spacing at
+            # 1.0 is 2^-8; 1+1e-6 would round back to the identical tiles)
+            img_k = imgs * (1.0 + (k + 1) / 256.0)
             t0 = time.perf_counter()
             full_eval(img_k, dtype)
             times.append(time.perf_counter() - t0)

@@ -134,6 +134,31 @@ def encode_data(model, variables, dataset, batch_size: int,
         mesh = None
     edt = jnp.dtype(encode_dtype).name if encode_dtype is not None else None
     embed_fn = _embed_fn_for(model, mesh, edt)
+
+    if edt == "bfloat16":
+        # cast the float batch fields to bf16 on HOST before upload: the
+        # production encode is transfer-bound (fp32 region features), and
+        # the host cast is bit-identical to the cast _embed_fn_for would
+        # apply on device (see _host_cast) — half the bytes over the wire.
+        # Box geometry stays fp32 (same _KEEP_F32 rule as the embed fn).
+        import ml_dtypes
+
+        def _host_cast_batch(b):
+            return {
+                k: v.astype(ml_dtypes.bfloat16)
+                if (
+                    k not in ("boxes", "imgs_wh")
+                    and isinstance(v, np.ndarray)
+                    and v.dtype == np.float32
+                )
+                else v
+                for k, v in b.items()
+            }
+
+    else:
+
+        def _host_cast_batch(b):
+            return b
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -177,6 +202,7 @@ def encode_data(model, variables, dataset, batch_size: int,
         try:
             for batch in dataset.eval_batches(batch_size):
                 nv = batch.pop("n_valid")
+                batch = _host_cast_batch(batch)
                 q.put(({k: place(v) for k, v in batch.items()}, nv))
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 - relayed to the consumer

@@ -46,10 +46,13 @@ def _cast_stack(d, dtype):
 
 
 def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
-                 overrides=None, reps=3, verbose=True):
+                 overrides=None, reps=3, verbose=True, encode_dtype=None):
     """Embed n_images*im_div synthetic caption/image rows at reference
     shapes, then time sims + R@K through the production engine body.
-    Returns (eval_seconds, encode_seconds_warm)."""
+    Returns (eval_seconds, encode_seconds_warm).
+
+    encode_dtype='bfloat16' times the encode_bf16 production path (the
+    embed forward itself in bf16) instead of an fp32 forward + stack cast."""
     cfg, batch0 = method_config(which)
     cfg.update(overrides or {})
     model = get_model(cfg)
@@ -60,7 +63,8 @@ def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
         {k: jnp.asarray(v) for k, v in batch0.items()},
         train=True,
     )
-    embed_fn = engine._embed_fn_for(model)
+    edt = jnp.dtype(encode_dtype).name if encode_dtype is not None else None
+    embed_fn = engine._embed_fn_for(model, None, edt)
 
     n_caps = n_images * im_div
     batches = [batch0]
@@ -77,7 +81,8 @@ def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
             k: jnp.concatenate([o[k] for o in outs], axis=0)[:n_caps]
             for k in outs[0]
         }
-        return _cast_stack(stack, dtype)
+        # bf16 embed forward already returns bf16 stacks
+        return stack if edt is not None else _cast_stack(stack, dtype)
 
     def _drain(d):
         # host transfer of every output = the only reliable barrier under
@@ -124,7 +129,8 @@ def bench_method(which, n_images=1000, im_div=5, dtype="bfloat16",
         print(
             f"{which:8s}: eval {t:7.3f}s ({pairs / t / 1e6:8.2f}M pairs/s)"
             f"  encode(warm) {t_enc:6.2f}s  "
-            f"[{imgs.shape[0]}x{cap_embs.shape[0]}, {dtype or 'float32'}]",
+            f"[{imgs.shape[0]}x{cap_embs.shape[0]}, {dtype or 'float32'}"
+            f"{', encode_bf16' if edt else ''}]",
             flush=True,
         )
     return t, t_enc
@@ -138,19 +144,24 @@ def main():
     }
     n_images = 1000
     dtype = "bfloat16"
+    encode_dtype = None
     for a in sys.argv[1:]:
         if a.startswith("--n_images="):
             n_images = int(a.split("=")[1])
         if a == "--fp32":
             dtype = None
+        if a == "--encode_bf16":
+            encode_dtype = "bfloat16"
     results = {}
     for which in names or METHODS:
         t, t_enc = bench_method(
-            which, n_images=n_images, dtype=dtype, overrides=dict(overrides)
+            which, n_images=n_images, dtype=dtype, overrides=dict(overrides),
+            encode_dtype=encode_dtype,
         )
         results[which] = {"eval_s": round(t, 3), "encode_warm_s": round(t_enc, 2)}
     print(json.dumps({"eval_bench": results, "n_images": n_images,
-                      "dtype": dtype or "float32"}))
+                      "dtype": dtype or "float32",
+                      "encode_dtype": encode_dtype or "float32"}))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,19 @@ def method_config(which):
     SAEM's reference batch 64; SAEM/CAMERA bert-base towers)."""
     if which == "VSE_PP":
         return dict(name="VSE_PP", vocab_size=11353, embed_size=1024, word_dim=300, measure="cosine", use_abs=False, no_imgnorm=False, margin=0.2, max_violation=True, data_name="f30k_precomp"), dict(mk_batch(), images=jnp.asarray(rng.standard_normal((128, 4096)).astype(np.float32)))
+    if which == "VSE_PP_CNN":
+        # raw-pixel variant (ref ImgEncoder.py:15-108): VGG19 tower through
+        # fc7, frozen (finetune=False, the reference default), batch 128 of
+        # synthetic 224^2 RGB — the one method variant without a chip row
+        b = mk_batch()
+        b["images"] = jnp.asarray(
+            rng.standard_normal((128, 224, 224, 3)).astype(np.float32)
+        )
+        return dict(name="VSE_PP", vocab_size=11353, embed_size=1024,
+                    word_dim=300, measure="cosine", use_abs=False,
+                    no_imgnorm=False, margin=0.2, max_violation=True,
+                    data_name="f30k", img_encoder="vgg19",
+                    finetune=False), b
     if which == "SCAN":
         return dict(name="SCAN", vocab_size=11353, embed_size=1024, word_dim=300, bi_gru=True, no_imgnorm=False, no_txtnorm=True, precomp_enc_type="basic", margin=0.2, max_violation=True, cross_attn="t2i", raw_feature_norm="clipped_l2norm", agg_func="LogSumExp", lambda_lse=6.0, lambda_softmax=9.0), mk_batch()
     if which == "SGRAF":

@@ -81,6 +81,26 @@ def test_encode_bf16_stack_dtypes_and_closeness(scan_setup):
         assert np.max(np.abs(a - b)) < 0.05, (k, np.max(np.abs(a - b)))
 
 
+def test_host_bf16_cast_bit_identical_to_device():
+    """encode_data under encode_bf16 casts the float batch fields to bf16 on
+    HOST before upload (halving the dominant relay transfer); that is only
+    sound if ml_dtypes' astype rounds exactly like the device cast
+    (round-to-nearest-even).  Exercise random values plus exact-tie
+    midpoints between adjacent bf16 values."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(8192).astype(np.float32) * np.float32(100.0)
+    # exact ties: midpoints between consecutive bf16-representable values
+    grid = np.arange(1.0, 2.0, 2.0 ** -8, dtype=np.float32)  # bf16-exact
+    ties = (grid[:-1] + grid[1:]) / 2.0
+    for v in (x, ties, -ties):
+        host = v.astype(ml_dtypes.bfloat16)
+        dev = np.asarray(jnp.asarray(v).astype(jnp.bfloat16))
+        np.testing.assert_array_equal(host.view(np.uint16),
+                                      dev.view(np.uint16))
+
+
 def test_encode_bf16_recall_drift(scan_setup):
     """evaluate_split with encode_bf16 must stay within one rank flip per
     direction of the fp32-encode run (30 test images / 150 captions: one
