@@ -67,20 +67,24 @@ def _sgr_step_full(s, nmask, wq, bq, wk, bk, wg, bg, bf16):
 def _sgr_step_node0(s, nmask, wq, bq, wk, bk, wg, bg, bf16):
     """Final step trimmed to node 0: one query/context row per pair.
 
-    Batched operands stay rank-3 throughout: Mosaic fails to parse the
-    dot_dimension_numbers of a batched dot_general with a rank-2 operand
-    (empty lhs_non_contracting_dims), so the (rb, d) rows ride as
-    (rb, 1, d)."""
+    The one-row edge/context products run on the VPU as fp32
+    broadcast-multiply-reduces instead of singleton batched dots:
+    Mosaic's layout inference rejects the (rb, n) -> (rb, 1, n) shape
+    cast the batched-dot lift needs when n is not lane-aligned
+    ("infer-vector-layout: unsupported shape cast", n = L+8 = 24 at
+    production bucket shapes), and at one query row the MXU is ~99%
+    padding anyway.  fp32 products match the MXU path's bf16-operand /
+    fp32-accumulate numerics."""
     rb, n, d = s.shape
     s2 = s.reshape(rb * n, d)
     k = (_dot(s2, wk, bf16) + bk).astype(s.dtype).reshape(rb, n, d)
     q0 = (_dot(s[:, 0, :], wq, bf16) + bq).astype(s.dtype)  # (rb, d)
-    e = _bdot(k, q0.reshape(rb, 1, d), bf16=bf16,
-              contract=((2,), (2,)))[:, :, 0]  # (rb, n) = edge row 0
+    e = jnp.sum(
+        k.astype(jnp.float32) * q0[:, None, :].astype(jnp.float32), axis=2
+    )  # (rb, n) = edge row 0
     e = jnp.where(nmask > 0, e, NEG_INF)
     a = jax.nn.softmax(e, axis=-1)
-    ctx = _bdot(a.astype(s.dtype).reshape(rb, 1, n), s,
-                bf16=bf16, contract=((2,), (1,)))[:, 0]  # (rb, d)
+    ctx = jnp.sum(s.astype(jnp.float32) * a[:, :, None], axis=1)  # (rb, d)
     g = _dot(ctx.astype(s.dtype), wg, bf16) + bg
     return jnp.maximum(g, 0.0)  # (rb, d) fp32
 
