@@ -338,6 +338,28 @@ class SGRAF(nn.Module):
         cap = self.txt_enc(batch["cap_ids"], batch["cap_mask"], train=train)
         return {"img": img, "cap": cap, "cap_mask": batch["cap_mask"]}
 
+    def fused_eval_active(self, compute_dtype) -> bool:
+        """True when eval similarity at `compute_dtype` routes to the
+        single-device whole-set fused path (EncoderSimilarity ->
+        _fused_eval_whole): the eval engine then scores the full (Ni, Nc)
+        grid in ONE call instead of tiles — the per-chunk kernel bounds its
+        own HBM, so tiling only adds dispatch latency (~40ms/tile on the
+        axon relay, ~1.3s of a 2.9s f30k-1K eval).  Under a mesh this is
+        False and the tiled dp-sharded path carries the multi-chip
+        parallelism.  Gate mirrored in EncoderSimilarity.__call__ so engine
+        sizing and model dispatch can never drift."""
+        from ..ops.pallas import pallas_ok, shard_mesh
+
+        return (
+            self.module_name in ("SGR", "SAF")
+            and compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+            and self.embed_size % 128 == 0
+            and self.sim_dim % 128 == 0
+            and pallas_ok()
+            and shard_mesh() is None
+        )
+
     def similarity(self, img, cap, cap_mask, train: bool = False):
         return self.sim_enc(img, cap, cap_mask, train=train)
 

@@ -246,7 +246,52 @@ class _ChunkScorer(nn.Module):
     compute_dtype: str | None = None
 
     @nn.compact
-    def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c):
+    def __call__(self, img_emb, img_glo, cap_c, mask_c, glo_c,
+                 *, params_only: bool = False):
+        if params_only:
+            # Weight pytree for the whole-set fused eval path
+            # (EncoderSimilarity -> _fused_eval_whole): exactly the params
+            # the fused per-chunk branch below uses, same module names, so
+            # checkpoints and the reference converter are unaffected.
+            d = img_emb.shape[-1]
+            glo_wb = XavierLinear(self.sim_dim, name="sim_tranglo_w")(
+                d, params_only=True
+            )
+            loc_wb = XavierLinear(self.sim_dim, name="sim_tranloc_w")(
+                d, params_only=True
+            )
+            if self.module_name == "SGR":
+                prm = [
+                    GraphReasoning(self.sim_dim, name=f"SGR_{i}")(
+                        None, None, params_only=True
+                    )
+                    for i in range(self.sgr_step)
+                ]
+                stack = lambda j, k_: jnp.stack([p[j][k_] for p in prm])
+                mod = (
+                    stack(0, 0), stack(0, 1), stack(1, 0), stack(1, 1),
+                    stack(2, 0), stack(2, 1),
+                )
+            else:
+                (awk, awb), (bsc, bbi, bmean, bvar) = AttentionFiltration(
+                    self.sim_dim, train=self.train, cap_rows=1, name="SAF"
+                )(None, None, params_only=True)
+                # same eval-mode BN fold as the per-chunk branch below
+                f32 = jnp.float32
+                aprime = bsc.astype(f32)[0] * jax.lax.rsqrt(
+                    bvar.astype(f32)[0] + 1e-5
+                )
+                bprime = bbi.astype(f32)[0] - bmean.astype(f32)[0] * aprime
+                awf = (awk[:, 0].astype(f32) * aprime).reshape(1, self.sim_dim)
+                abf = jnp.full(
+                    (1, self.sim_dim),
+                    awb.astype(f32)[0] * aprime + bprime, f32,
+                )
+                mod = (awf, abf)
+            eval_wb = XavierLinear(1, name="sim_eval_w")(
+                self.sim_dim, params_only=True
+            )
+            return glo_wb, loc_wb, mod, eval_wb
         if self.compute_dtype is not None:
             cdt = jnp.dtype(self.compute_dtype)
             img_emb, img_glo, cap_c, glo_c = (
@@ -425,6 +470,73 @@ class _ChunkScorer(nn.Module):
         return sim_i.reshape(c, ni).T  # (Ni, C)
 
 
+def _fused_eval_whole(img_emb, img_glo, cap_emb, cap_mask, cap_glo,
+                      weights, module_name, sim_dim):
+    """Whole-set fused SGRAF eval: ONE kernel grid per caption super-chunk.
+
+    The per-chunk Python loop costs ~32 relay dispatches per f30k-1K eval
+    (tiles x chunks); here the similarity for the full (Ni, Nc) grid is one
+    jitted call — a lax.scan over caption super-chunks whose body computes
+    the sim_glo global-alignment nodes and runs the fused eval kernel
+    (sgraf_eval.py grids over caption blocks internally).  Super-chunking
+    bounds the (sc, Ni, D) squared-diff tensor and the kernel's
+    (sc, Ni, S) glo/out blocks to ~0.5GB each at any Nc (coco-testall
+    included).  All inputs must already be in the compute dtype.
+    """
+    (gw, gb), (w, bb), mod, (ew, eb) = weights
+    ni, _, d = img_emb.shape
+    nc, l, _ = cap_emb.shape
+    cdt = cap_emb.dtype
+
+    lp = -(-l // 8) * 8  # kernel wants L % 8 == 0
+    if lp != l:
+        cap_emb = jnp.pad(cap_emb, ((0, 0), (0, lp - l), (0, 0)))
+        cap_mask = jnp.pad(cap_mask, ((0, 0), (0, lp - l)))
+
+    sc_max = max(32, (512 << 20) // (ni * d * 2))
+    k = -(-nc // sc_max)            # number of super-chunks
+    sc = -(-nc // k)                # balanced size ...
+    sc = ((sc + 7) // 8) * 8        # ... rounded up to %8
+    ncp = k * sc
+    if ncp != nc:
+        cap_emb = jnp.pad(cap_emb, ((0, ncp - nc), (0, 0), (0, 0)))
+        cap_mask = jnp.pad(cap_mask, ((0, ncp - nc), (0, 0)))
+        cap_glo = jnp.pad(cap_glo, ((0, ncp - nc), (0, 0)))
+
+    from ..ops.pallas.sgraf_eval import sgraf_eval_auto, sgraf_eval_saf_auto
+
+    def body(_, xs):
+        cap_c, mask_c, glo_c = xs
+        sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2  # (sc,Ni,D)
+        sim_glo = l2norm(
+            sim_glo @ gw.astype(cdt) + gb.astype(cdt), axis=-1
+        )  # (sc, Ni, S)
+        if module_name == "SGR":
+            sim_vec = sgraf_eval_auto(cap_c, mask_c, img_emb, sim_glo,
+                                      w, bb, *mod)
+        else:
+            sim_vec = sgraf_eval_saf_auto(cap_c, mask_c, img_emb, sim_glo,
+                                          w, bb, *mod)
+        sv = sim_vec.reshape(sc * ni, sim_dim)
+        si = jax.nn.sigmoid(
+            (sv @ ew.astype(sv.dtype) + eb.astype(sv.dtype)).astype(
+                jnp.float32
+            )
+        )
+        return None, si[:, 0].reshape(sc, ni)
+
+    _, out = jax.lax.scan(
+        body,
+        None,
+        (
+            cap_emb.reshape(k, sc, lp, d),
+            cap_mask.reshape(k, sc, lp),
+            cap_glo.reshape(k, sc, d),
+        ),
+    )
+    return out.reshape(ncp, ni)[:nc].T  # (Ni, Nc)
+
+
 class EncoderSimilarity(nn.Module):
     """SGRAF image-text similarity (ref :373-451), batched over captions.
 
@@ -476,6 +588,37 @@ class EncoderSimilarity(nn.Module):
             compute_dtype=self.compute_dtype,
             name="scorer",
         )
+
+        from ..ops.pallas import pallas_ok, shard_mesh
+
+        d = img_emb.shape[-1]
+        eff_dt = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else img_emb.dtype
+        )
+        if (
+            not train
+            and self.module_name in ("SGR", "SAF")
+            and eff_dt == jnp.bfloat16
+            and d % 128 == 0
+            and self.sim_dim % 128 == 0
+            and pallas_ok()
+            and shard_mesh() is None
+        ):
+            # single-device fused eval: score the whole (Ni, Nc) grid in one
+            # call (gate mirrored by SGRAF.fused_eval_active so the engine
+            # skips tiling).  Under a mesh the tiled dp-sharded path stays —
+            # caption tiles ARE the multi-chip parallelism there.
+            weights = scorer(
+                img_emb, img_glo, None, None, None, params_only=True
+            )
+            return _fused_eval_whole(
+                img_emb.astype(eff_dt), img_glo.astype(eff_dt),
+                cap_emb.astype(eff_dt), cap_mask.astype(eff_dt),
+                cap_glo.astype(eff_dt),
+                weights, self.module_name, self.sim_dim,
+            )
 
         chunk = min(self.cap_chunk, nc)
         blocks = []

@@ -74,6 +74,10 @@ def eff_flops_per_step(bc, l):
 
 
 def bench(fn, *args, reps=3, scale_arg=0):
+    """Times a JITTED call: an eager pallas_call on the axon relay carries a
+    ~2.3-2.5s per-call dispatch overhead (measured 2026-08-19) that swamps
+    the device time and made earlier eager sweeps unusable."""
+    fn = jax.jit(fn)
     fn(*args)  # compile
     np.asarray(fn(*args)[:1, :1])  # drain
     times = []
@@ -133,9 +137,11 @@ def main():
 
         try:
             t = bench(
-                lambda c: sgraf_eval_score(c, mask, img, w, b, glo,
-                                           wq, bq, wk, bk, wg, bg, block_c=bc),
-                cap,
+                # all tensors ride as jit ARGUMENTS: closure-captured arrays
+                # become HLO constants and blow the relay's compile-payload
+                # limit (HTTP 413) at bucket scale
+                lambda c, *a: sgraf_eval_score(c, *a, block_c=bc),
+                cap, mask, img, w, b, glo, wq, bq, wk, bk, wg, bg,
             )
         except Exception as e:  # noqa: BLE001 - sweep survives bad configs
             print(f"SGR  bc={bc:4d}: FAILED ({type(e).__name__}: "
@@ -152,9 +158,8 @@ def main():
     bc = _pick_block_c(NC, l)
     try:
         t = bench(
-            lambda c: sgraf_eval_saf_score(c, mask, img, w, b, glo, awf, abf,
-                                           block_c=bc),
-            cap,
+            lambda c, *a: sgraf_eval_saf_score(c, *a, block_c=bc),
+            cap, mask, img, w, b, glo, awf, abf,
         )
         print(f"SAF  bc={bc:4d}: {t:6.3f}s  {pairs / t / 1e6:6.2f}M pairs/s "
               f"(alignment + filtration only)", flush=True)
@@ -167,7 +172,8 @@ def main():
     # scale the rate
     ni_t = 64
     try:
-        t = bench(lambda c: sgraf_align(c, mask, img[:ni_t], w, b, bc), cap)
+        t = bench(lambda c, m_, i_, w_, b_: sgraf_align(c, m_, i_, w_, b_, bc),
+                  cap, mask, img[:ni_t], w, b)
         print(f"ALN  bc={bc:4d}: {t:6.3f}s for {NC}x{ni_t}  "
               f"{NC * ni_t / t / 1e6:6.2f}M pairs/s  (alignment only, "
               f"writes (Nc,{ni_t},L,S) to HBM)", flush=True)

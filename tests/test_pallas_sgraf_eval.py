@@ -163,7 +163,14 @@ def test_eval_saf_train_path_untouched(rng):
 
 def test_eval_kernel_sharded_matches_direct(rng):
     """8-device mesh: the shard_mapped eval kernel (images over 'dp')
-    produces the same scores as the direct single-device call."""
+    produces the same scores as the direct single-device call.
+
+    Tolerance is bf16-drift, not exact: the direct (no-mesh) model call now
+    rides the whole-set path (_fused_eval_whole — different caption
+    super-chunk padding, hence different kernel blocking) while the mesh
+    call stays per-chunk.  Exact sharded-vs-direct parity at identical
+    blocking is asserted at raw kernel level in
+    test_raw_eval_kernel_sharded_exact."""
     from itrx.parallel import mesh as pmesh
 
     m, v = _model_and_vars(rng)
@@ -177,7 +184,7 @@ def test_eval_kernel_sharded_matches_direct(rng):
             sharded = m.apply(v, img, cap, mask, train=False)
     assert pk.dispatch_counts().get("sgraf_eval_fused_sharded", 0) >= 1
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
-                               atol=2e-6, rtol=2e-6)
+                               atol=2e-4, rtol=2e-3)
 
 
 def test_eval_saf_kernel_sharded_matches_direct(rng):
@@ -202,5 +209,136 @@ def test_eval_saf_kernel_sharded_matches_direct(rng):
         with pk.shard_ctx(mesh):
             sharded = m.apply(v, img, cap, mask, train=False)
     assert pk.dispatch_counts().get("sgraf_eval_saf_fused_sharded", 0) >= 1
+    # bf16-drift tolerance: direct rides the whole-set path (see the SGR
+    # sharded test above); exact parity is at raw kernel level below
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                               atol=2e-4, rtol=2e-3)
+
+
+def _raw_kernel_inputs(rng, ni=11, nc=13, l=16, d=256, s=256, steps=3):
+    img, cap, mask = _data(rng, ni=ni, nc=nc, l=l, d=d, dtype=jnp.bfloat16)
+    f = lambda *sh: jnp.asarray(
+        (rng.standard_normal(sh) * 0.05).astype(np.float32)
+    )
+    w, b = f(d, s), f(s)
+    glo = f(nc, ni, s)
+    wq, bq = f(steps, s, s), f(steps, s)
+    wk, bk = f(steps, s, s), f(steps, s)
+    wg, bg = f(steps, s, s), f(steps, s)
+    return img, cap, mask, w, b, glo, (wq, bq, wk, bk, wg, bg)
+
+
+def test_raw_eval_kernel_sharded_exact(rng):
+    """Raw-level sharded-vs-direct exactness: the shard_map wrapper's image
+    padding (ni=11 -> 16 over 8 devices) and argument plumbing must not
+    change the numbers at all — same kernel, same caption blocking, 2e-6."""
+    from itrx.parallel import mesh as pmesh
+    from itrx.ops.pallas.sgraf_eval import sgraf_eval_auto
+
+    img, cap, mask, w, b, glo, sgr_p = _raw_kernel_inputs(rng)
+    with pk.force_interpret():
+        direct = sgraf_eval_auto(cap, mask, img, glo, w, b, *sgr_p)
+        pk.reset_dispatch()
+        mesh = pmesh.make_mesh(devices=jax.devices()[:8])
+        with pk.shard_ctx(mesh):
+            sharded = sgraf_eval_auto(cap, mask, img, glo, w, b, *sgr_p)
+    assert pk.dispatch_counts().get("sgraf_eval_fused_sharded", 0) >= 1
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_raw_eval_saf_kernel_sharded_exact(rng):
+    """SAF raw-level analog of test_raw_eval_kernel_sharded_exact."""
+    from itrx.parallel import mesh as pmesh
+    from itrx.ops.pallas.sgraf_eval import sgraf_eval_saf_auto
+
+    img, cap, mask, w, b, glo, _ = _raw_kernel_inputs(rng)
+    awf = jnp.asarray((rng.standard_normal((1, 256)) * 0.05).astype(np.float32))
+    abf = jnp.asarray((rng.standard_normal((1, 256)) * 0.05).astype(np.float32))
+    with pk.force_interpret():
+        direct = sgraf_eval_saf_auto(cap, mask, img, glo, w, b, awf, abf)
+        pk.reset_dispatch()
+        mesh = pmesh.make_mesh(devices=jax.devices()[:8])
+        with pk.shard_ctx(mesh):
+            sharded = sgraf_eval_saf_auto(cap, mask, img, glo, w, b, awf, abf)
+    assert pk.dispatch_counts().get("sgraf_eval_saf_fused_sharded", 0) >= 1
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_whole_set_path_pads_ragged_word_axis(rng):
+    """The whole-set fused eval path (EncoderSimilarity -> _fused_eval_whole,
+    one lax.scan'd kernel grid per caption super-chunk instead of the
+    per-chunk Python loop) pads L to %8 itself — ragged word axes that the
+    per-chunk gate used to send to XLA now ride the kernel — and pads the
+    caption count to the super-chunk size.  Must match the XLA path."""
+    img, cap, mask = _data(rng, ni=5, nc=11, l=14, dtype=jnp.bfloat16)
+    m = EncoderSimilarity(embed_size=256, sim_dim=256, module_name="SGR",
+                          sgr_step=2, cap_chunk=8)
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, cap, mask, train=False)
+    ref = m.apply(v, img, cap, mask, train=False)  # XLA (no routing on CPU)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        got = m.apply(v, img, cap, mask, train=False)
+    assert pk.dispatch_counts().get("sgraf_eval_fused", 0) >= 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_engine_tile_free_sgraf(rng):
+    """cal_sims goes tile-free for SGRAF (SGRAF.fused_eval_active mirrors
+    the model's whole-set gate): bf16 sims from the single-call path must
+    match the fp32 XLA tiled path within bf16 drift, and the fused eval
+    kernel must have dispatched."""
+    from itrx.eval.engine import cal_sims
+    from itrx.models import get_model
+
+    cfg = dict(
+        name="SGRAF", vocab_size=90, embed_size=128, word_dim=32,
+        sim_dim=128, bi_gru=True, no_imgnorm=False, no_txtnorm=False,
+        module_name="SGR", sgr_step=2, margin=0.2, max_violation=True,
+        sgraf_dropout=0.0, cap_chunk=8,
+    )
+    model = get_model(cfg)
+    ni, l = 14, 18
+    nc = 70  # >= 64 so the length-bucketing engine path runs
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((4, 8, 128)).astype(np.float32)),
+        "cap_ids": jnp.asarray(rng.integers(0, 90, (4, l)).astype(np.int32)),
+        "cap_mask": jnp.ones((4, l), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    assert model.fused_eval_active("bfloat16") is False  # CPU, no interpret
+    img = jnp.asarray(rng.standard_normal((ni, 8, 128)).astype(np.float32))
+    cap = jnp.asarray(rng.standard_normal((nc, l, 128)).astype(np.float32))
+    lens = rng.integers(4, l + 1, nc)
+    mask = jnp.asarray((np.arange(l)[None] < lens[:, None]).astype(np.float32))
+    e = model.apply(
+        variables,
+        {"images": img, "cap_ids": jnp.ones((ni, l), jnp.int32),
+         "cap_mask": jnp.ones((ni, l), jnp.float32)},
+        train=False, method="embed",
+    )
+    cap_e = model.apply(
+        variables,
+        {"images": jnp.asarray(
+            rng.standard_normal((nc, 8, 128)).astype(np.float32)),
+         "cap_ids": jnp.asarray(rng.integers(1, 90, (nc, l)).astype(np.int32)),
+         "cap_mask": mask},
+        train=False, method="embed",
+    )
+    img_embs, cap_embs = e["img"], cap_e["cap"]
+
+    want = cal_sims(model, variables, img_embs, cap_embs, mask,
+                    verbose=False)
+    pk.reset_dispatch()
+    with pk.force_interpret():
+        assert model.fused_eval_active("bfloat16") is True
+        got = cal_sims(model, variables, img_embs, cap_embs, mask,
+                       verbose=False, compute_dtype="bfloat16")
+    assert pk.dispatch_counts().get("sgraf_eval_fused", 0) >= 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
