@@ -115,11 +115,15 @@ def bench(which, reps, root):
             model, v, ds, bs, encode_dtype="bfloat16"
         ),
     }
+    # in-memory mutable copy so reps see perturbed inputs (the relay can
+    # serve cached results for bit-identical calls; 1/256 is bf16-exact)
+    ds.images = np.array(ds.images)
     out = {}
     for name, fn in modes.items():
         drain(fn())  # compile + drain pending uploads
         times = []
         for _ in range(reps):
+            ds.images *= np.float32(1.0 + 1.0 / 256.0)
             t0 = time.perf_counter()
             drain(fn())
             times.append(time.perf_counter() - t0)
