@@ -73,8 +73,10 @@ def _sgr_step_node0(s, nmask, wq, bq, wk, bk, wg, bg, bf16):
     cast the batched-dot lift needs when n is not lane-aligned
     ("infer-vector-layout: unsupported shape cast", n = L+8 = 24 at
     production bucket shapes), and at one query row the MXU is ~99%
-    padding anyway.  fp32 products match the MXU path's bf16-operand /
-    fp32-accumulate numerics."""
+    padding anyway.  The fp32 products equal the MXU path's bf16-operand /
+    fp32-accumulate results within bf16 operand-rounding error (strictly
+    MORE precise — operands are no longer rounded to bf16 first — so
+    expect ulp-level diffs, not bit parity; tests use tolerances)."""
     rb, n, d = s.shape
     s2 = s.reshape(rb * n, d)
     k = (_dot(s2, wk, bf16) + bk).astype(s.dtype).reshape(rb, n, d)

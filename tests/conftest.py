@@ -29,6 +29,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: many-minute convergence/e2e runs; quick iteration excludes "
+        "them with -m 'not slow' (the full default run keeps them)",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

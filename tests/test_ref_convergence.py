@@ -51,6 +51,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# many-minute CPU-torch training runs; quick iteration: -m "not slow"
+pytestmark = pytest.mark.slow
+
 from tests.test_ref_parity import _base_cfg, ref  # noqa: F401
 from tests.test_ref_trajectory import (  # noqa: F401
     _ref_batch_to_train_data,
