@@ -67,7 +67,8 @@ def main():
             "data_name=f30k_precomp",
             f"data_path={os.path.dirname(BENCH_DIR)}",
             f"vocab_path={os.path.join(os.path.dirname(BENCH_DIR), 'vocab')}",
-            "vocab_type=json", "batch_size=128", "eval_bf16=True", "seed=0",
+            "vocab_type=json", "batch_size=128", "eval_bf16=True",
+            "encode_bf16=True", "seed=0",
         ],
         make_dirs=False,
     )
@@ -83,21 +84,35 @@ def main():
     )
 
     # first pass compiles the embed fn (~100s on the relay); the reported
-    # encode time is the warm second pass (host->device feature upload bound
-    # under the axon tunnel: ~1.5GB of fp32 region features)
-    engine.encode_data(model, variables, dataset, cfg["batch_size"])
+    # encode time is the warm second pass.  encode_bf16 is the production
+    # encode path: host-side bf16 cast before upload halves the relay
+    # transfer bytes (~1.5GB of fp32 region features -> ~0.75GB) and the
+    # embed forward runs bf16 (engine._embed_fn_for).
+    def encode():
+        return engine.encode_data(
+            model, variables, dataset, cfg["batch_size"],
+            encode_dtype="bfloat16",
+        )
+
+    encode()
     t_enc0 = time.perf_counter()
-    enc = engine.encode_data(model, variables, dataset, cfg["batch_size"])
+    enc = encode()
     img_embs, cap_embs, cap_mask = enc["img"], enc["cap"], enc["cap_mask"]
     imgs = img_embs[:: dataset.im_div]
     np.asarray(imgs[-1])  # host transfer = encode barrier
     t_enc = time.perf_counter() - t_enc0
     ni, nc = imgs.shape[0], cap_embs.shape[0]
 
-    def full_eval(img_in, dtype):
-        # the exact scoring body of engine.evaluate_split (engine.py:380-393)
+    # fp32 copies of the (bf16) stacks for the fp32 XLA reference path: same
+    # values, so bf16-vs-fp32 scoring diffs below measure ONLY the fused
+    # kernels against the fp32 XLA oracle (not encode drift)
+    imgs_f32 = imgs.astype(jnp.float32)
+    caps_f32 = cap_embs.astype(jnp.float32)
+
+    def full_eval(img_in, cap_in, dtype):
+        # the exact scoring body of engine.evaluate_split
         sims = engine.cal_sims(
-            model, variables, img_in, cap_embs, cap_mask,
+            model, variables, img_in, cap_in, cap_mask,
             img_tile=cfg.get("eval_img_tile", 256),
             cap_tile=cfg.get("eval_cap_tile", 1024),
             verbose=False,
@@ -105,24 +120,41 @@ def main():
         )
         return metrics.cal_recall(
             sims, cap_ratio=dataset.im_div, verbose=False
-        )
+        ), sims
 
-    def timed(dtype):
-        res = full_eval(imgs, dtype)  # warmup/compile
+    def timed(img_in, cap_in, dtype):
+        res, sims = full_eval(img_in, cap_in, dtype)  # warmup/compile
         times = []
         for k in range(3):
             # perturbation must survive the bf16 tile cast (bf16 spacing at
             # 1.0 is 2^-8; 1+1e-6 would round back to the identical tiles)
-            img_k = imgs * (1.0 + (k + 1) / 256.0)
+            img_k = img_in * (1.0 + (k + 1) / 256.0)
             t0 = time.perf_counter()
-            full_eval(img_k, dtype)
+            full_eval(img_k, cap_in, dtype)
             times.append(time.perf_counter() - t0)
-        return min(times), res
+        return min(times), res, sims
 
-    # production path: eval_bf16 (bf16 embeddings, fp32 accumulation;
-    # recall parity asserted in tests/test_bf16_eval.py)
-    t, res = timed("bfloat16")
-    t_fp32, _ = timed(None)
+    # production path: eval_bf16 (bf16 embeddings, fused Pallas kernels,
+    # fp32 accumulation; recall parity asserted in tests/test_bf16_eval.py)
+    t, res, sims_bf16 = timed(imgs, cap_embs, "bfloat16")
+    t_fp32, res_fp32, sims_fp32 = timed(imgs_f32, caps_f32, None)
+
+    # correctness witness (round-4 verdict weak #7): the fused bf16 kernels
+    # must rank like the fp32 XLA oracle on the same embeddings.  Random
+    # weights make absolute recall meaningless, but per-caption top-1 images
+    # agree >=95% when the kernel is correct (bf16 rounding flips only
+    # near-ties) and ~0.1% when it computes garbage.  Fail loudly.
+    top1_agree = float(
+        jnp.mean(
+            (jnp.argmax(sims_bf16, axis=0) == jnp.argmax(sims_fp32, axis=0))
+            .astype(jnp.float32)
+        )
+    )
+    if top1_agree < 0.8:
+        raise AssertionError(
+            f"bf16 fused eval disagrees with the fp32 XLA oracle: top-1 "
+            f"agreement {top1_agree:.3f} < 0.8 — fused-kernel scoring bug"
+        )
 
     pairs_per_sec = ni * nc / t
     baseline = 62500.0
@@ -137,12 +169,15 @@ def main():
                     "workload": (
                         "f30k-1K SCAN t2i eval through the production stack "
                         "(get_model + encode_data + cal_sims + cal_recall, "
-                        "eval_bf16, length-bucketed engine / fused kernels)"
+                        "encode_bf16 + eval_bf16, length-bucketed engine / "
+                        "fused kernels)"
                     ),
                     "eval_seconds": round(t, 3),
                     "eval_seconds_fp32": round(t_fp32, 3),
                     "encode_seconds": round(t_enc, 3),
                     "rsum_bf16": round(float(res["rsum"]), 1),
+                    "rsum_fp32": round(float(res_fp32["rsum"]), 1),
+                    "bf16_fp32_top1_agreement": round(top1_agree, 4),
                     "shape": [ni, nc, 36, int(cap_embs.shape[1]), 1024],
                 },
             }

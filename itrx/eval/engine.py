@@ -70,7 +70,14 @@ def _embed_fn_for(model, mesh=None, encode_dtype=None):
             kept = {k: batch[k] for k in _KEEP_F32 if k in batch}
             batch = dict(_cast({k: v for k, v in batch.items() if k not in kept}))
             batch.update(kept)
-            variables = _cast(variables)
+            # cast only params — BatchNorm running stats (batch_stats: VSRN
+            # GCN, CAMERA AGSA) stay fp32, matching make_train_step's
+            # params-only discipline (loop.py); eval-mode BN must not
+            # normalize with quantized mean/var
+            variables = {
+                k: _cast(v) if k == "params" else v
+                for k, v in variables.items()
+            }
         with shard_ctx(mesh):
             out = model.apply(variables, batch, train=False, method="embed")
         if cdt is not None:
@@ -81,6 +88,45 @@ def _embed_fn_for(model, mesh=None, encode_dtype=None):
                 for k, v in out.items()
             }
         return out
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_bucket_eval_for(model, bounds, cdt_name=None):
+    """ONE jitted call scoring every length bucket + scattering the columns.
+
+    The production f30k-1K eval spends more wall time in host/relay dispatch
+    gaps than on the device (profiled 2026-08-19: 164 ms device-lane vs
+    0.58 s wall — the per-bucket kernel dispatches, scatters and the rank
+    call each pay the relay round-trip).  When the fused whole-grid kernels
+    are active there is no tiling, so the entire bucketed scoring collapses
+    into one XLA program: per bucket, gather the caption rows, trim the word
+    axis to the bucket bound (static `bounds`), run the model's fused
+    similarity, scatter the columns — a single dispatch regardless of
+    bucket count.  Single-device only (under a mesh the caption tiles are
+    the dp parallelism and the tiled path is kept).
+    """
+    from ..ops.pallas import shard_ctx
+
+    cdt = jnp.dtype(cdt_name) if cdt_name is not None else None
+
+    @jax.jit
+    def f(variables, img, cap_embs, cap_mask, *idxs):
+        if cdt is not None:
+            img = img.astype(cdt)
+            cap_embs = cap_embs.astype(cdt)
+        sims = jnp.zeros((img.shape[0], cap_embs.shape[0]), jnp.float32)
+        with shard_ctx(None):
+            for b, idx in zip(bounds, idxs):
+                caps_b = cap_embs[idx, :b]
+                mask_b = cap_mask[idx, :b]
+                s = model.apply(
+                    variables, img, caps_b, mask_b,
+                    train=False, method="similarity",
+                )
+                sims = sims.at[:, idx].set(s)
+        return sims
 
     return f
 
@@ -193,32 +239,55 @@ def encode_data(model, variables, dataset, batch_size: int,
     # device_put path).  Encode is the longest phase of the production eval
     # bench — the upload latency hides entirely under the embed.
     import threading
-    from queue import Queue
+    from queue import Empty, Full, Queue
 
     q: Queue = Queue(maxsize=2)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item):
+        # bounded put that aborts when the consumer has stopped — otherwise
+        # a consumer exception with a full queue would park this thread on
+        # q.put forever, pinning the staged device buffers for the process
+        # lifetime (repeated evals in a long run would accumulate them)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return
+            except Full:
+                continue
 
     def _producer():
         try:
             for batch in dataset.eval_batches(batch_size):
+                if stop.is_set():
+                    return
                 nv = batch.pop("n_valid")
                 batch = _host_cast_batch(batch)
-                q.put(({k: place(v) for k, v in batch.items()}, nv))
-            q.put(_END)
+                _put(({k: place(v) for k, v in batch.items()}, nv))
+            _put(_END)
         except BaseException as e:  # noqa: BLE001 - relayed to the consumer
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=_producer, daemon=True).start()
     outs = []
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        placed, n_valid = item
-        e = embed_fn(variables, placed)
-        outs.append((_cast_out(e), n_valid))
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            placed, n_valid = item
+            e = embed_fn(variables, placed)
+            outs.append((_cast_out(e), n_valid))
+    finally:
+        stop.set()
+        try:  # release a producer blocked on a full queue
+            while True:
+                q.get_nowait()
+        except Empty:
+            pass
 
     keys = outs[0][0].keys()
     result = {}
@@ -310,6 +379,48 @@ def cal_sims(
         if len(in_bucket):
             buckets.append((in_bucket, b))
 
+    # Single-dispatch fast path: with the fused whole-grid kernels active
+    # (single device, device-resident embeddings, bf16), every bucket is one
+    # untiled kernel call — fold them all, plus the column scatters, into
+    # ONE jitted call (see _fused_bucket_eval_for).  Wall time then tracks
+    # device time instead of per-dispatch relay latency.
+    fused_active = getattr(model, "fused_eval_active", None)
+    if (
+        not host_staged
+        and on_device
+        and mesh is None
+        and fused_active is not None
+        and cap_embs.ndim == 3
+    ):
+        from ..ops.pallas import shard_ctx
+
+        with shard_ctx(None):
+            fused_on = fused_active(compute_dtype)
+        fused_bytes = _fused_grid_bytes(
+            model, img_embs.shape[0], nc, cap_embs.shape[1],
+            compute_dtype, cap_embs.ndim,
+        )
+        if fused_on and fused_bytes < (
+            budgets.get("fused_grid_bytes") or (6 << 30)
+        ):
+            f = _fused_bucket_eval_for(
+                model,
+                tuple(b for _, b in buckets),
+                jnp.dtype(compute_dtype).name if compute_dtype else None,
+            )
+            sims = f(
+                variables, jnp.asarray(img_embs), cap_embs, cap_mask,
+                *(jnp.asarray(ib) for ib, _ in buckets),
+            )
+            np.asarray(sims[:1, :1])  # barrier (see below)
+            if verbose:
+                print(
+                    "Calculate similarity matrix elapses: {:.3f}s".format(
+                        time.time() - t0
+                    )
+                )
+            return sims
+
     if host_staged:
         # host-staged embeddings: upload just each bucket (cast to the
         # compute dtype on host first — half the bytes over the wire).
@@ -361,6 +472,21 @@ def cal_sims(
             "Calculate similarity matrix elapses: {:.3f}s".format(time.time() - t0)
         )
     return sims if on_device else jnp.asarray(sims)
+
+
+def _fused_grid_bytes(model, ni, nc, l, compute_dtype, cap_ndim) -> int:
+    """HBM bytes the fused whole-grid eval holds live: output matrix + one
+    temp, plus (i2t only) the block-diagonal caption Gram the kernel
+    materializes (xattn.py gram_bd, block_c=16) and the fp32 per-caption
+    (L, L) Grams — the dominant term at coco-testall scale."""
+    fused_bytes = ni * nc * 4 * 2
+    if cap_ndim == 3 and getattr(model, "cross_attn", "") == "i2t":
+        itemsize = 2 if (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+        ) else 4
+        fused_bytes += nc * 16 * l * l * itemsize + nc * l * l * 4
+    return fused_bytes
 
 
 def _host_cast(x, compute_dtype):
@@ -415,22 +541,11 @@ def _cal_sims_tiled(
     # only adds dispatch/padding overhead, so the whole grid goes through in
     # one call (bounded only by the output matrix + embeddings in HBM)
     fused_active = getattr(model, "fused_eval_active", None)
-    fused_bytes = ni * nc * 4 * 2  # output matrix + one temp
-    if (
-        fused_active is not None
-        and cap_embs.ndim == 3
-        and getattr(model, "cross_attn", "") == "i2t"
-    ):
-        # the i2t kernel also materializes a block-diagonal caption Gram of
-        # nc_pad*block_c*L^2 elements (xattn.py gram_bd, block_c=16) plus the
-        # fp32 per-caption (L, L) Grams — at coco-testall scale that is the
-        # dominant HBM term, so it must be in the full-grid budget
-        l = cap_embs.shape[1]
-        itemsize = 2 if (
-            compute_dtype is not None
-            and jnp.dtype(compute_dtype) == jnp.bfloat16
-        ) else 4
-        fused_bytes += nc * 16 * l * l * itemsize + nc * l * l * 4
+    fused_bytes = _fused_grid_bytes(
+        model, ni, nc,
+        cap_embs.shape[1] if cap_embs.ndim == 3 else 0,
+        compute_dtype, cap_embs.ndim,
+    )
     from ..ops.pallas import shard_ctx
 
     with shard_ctx(mesh):

@@ -132,6 +132,46 @@ def test_length_bucketed_sims_exact(rng):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s4), atol=1e-5)
 
 
+def test_fused_bucket_single_dispatch_exact(rng):
+    """The single-dispatch bucketed fused eval (engine._fused_bucket_eval_for,
+    engaged when SCAN's fused kernels are active) must reproduce the direct
+    whole-set similarity exactly: bucket trims only drop masked word columns
+    (zero contribution everywhere) and the scatter restores caption order."""
+    from itrx.ops import pallas
+
+    cfg = dict(
+        name="SCAN", vocab_size=50, embed_size=64, word_dim=16, bi_gru=False,
+        no_imgnorm=False, no_txtnorm=True, precomp_enc_type="basic",
+        margin=0.2, max_violation=True, cross_attn="t2i",
+        raw_feature_norm="clipped_l2norm", agg_func="LogSumExp",
+        lambda_lse=6.0, lambda_softmax=9.0,
+    )
+    model = get_model(cfg)
+    ni, nc, r, l, d = 8, 80, 6, 24, 64
+    img = jnp.asarray(
+        rng.standard_normal((ni, r, d)).astype(np.float32), jnp.bfloat16
+    )
+    lengths = np.clip(rng.normal(9, 4, nc).astype(int), 3, l)
+    mask = jnp.asarray((np.arange(l)[None] < lengths[:, None]).astype(np.float32))
+    cap = jnp.asarray(
+        rng.standard_normal((nc, l, d)).astype(np.float32), jnp.bfloat16
+    ) * mask[:, :, None].astype(jnp.bfloat16)
+
+    with pallas.force_interpret():
+        assert model.fused_eval_active(jnp.bfloat16)
+        pallas.reset_dispatch()
+        fast = engine.cal_sims(
+            model, {}, img, cap, mask, verbose=False,
+            compute_dtype="bfloat16", length_buckets=4,
+        )
+        # the single-dispatch path routed through the fused kernel
+        assert pallas.dispatch_counts().get("xattn_t2i_fused", 0) >= 1
+        direct = model.apply({}, img, cap, mask, train=False, method="similarity")
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(direct), atol=2e-5
+    )
+
+
 def test_budget_branches_exact(rng):
     """Every staging/assembly branch the eval budgets select between must
     reproduce the default device-resident path: (a) host-staged caption

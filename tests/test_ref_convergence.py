@@ -54,11 +54,12 @@ torch = pytest.importorskip("torch")
 # many-minute CPU-torch training runs; quick iteration: -m "not slow"
 pytestmark = pytest.mark.slow
 
-from tests.test_ref_parity import _base_cfg, ref  # noqa: F401
+from tests.test_ref_parity import _base_cfg, ref, tiny_bert  # noqa: F401
 from tests.test_ref_trajectory import (  # noqa: F401
     _ref_batch_to_train_data,
     _run_ref_train_emb,
     _zero_ref_dropout,
+    traj_bert,
 )
 
 # tiny widths: CPU torch is the slow side (per-caption Python loops in
@@ -85,7 +86,7 @@ NOISE_SGRAF = 0.02
 
 
 def _make_split(rng, basis, n_images, disjoint=False, filler=True,
-                noise=None):
+                noise=None, filler_ids=3):
     """Planted images (region features) + 5 captions each (token ids).
 
     `disjoint=True`: concept triples are a partition of the concept set (no
@@ -100,13 +101,14 @@ def _make_split(rng, basis, n_images, disjoint=False, filler=True,
     alignment vectors and plateaus well short of the recall ceiling."""
     imgs = np.zeros((n_images, R, D), np.float32)
     caps = np.zeros((n_images, 5, L), np.int64)
+    k_concepts = len(basis)
     if disjoint:
-        assert 3 * n_images <= K_CONCEPTS
-        perm = rng.permutation(K_CONCEPTS)[: 3 * n_images]
+        assert 3 * n_images <= k_concepts
+        perm = rng.permutation(k_concepts)[: 3 * n_images]
         triples = [sorted(perm[3 * i : 3 * i + 3].tolist()) for i in range(n_images)]
     else:
         triples = [
-            sorted(rng.choice(K_CONCEPTS, size=3, replace=False).tolist())
+            sorted(rng.choice(k_concepts, size=3, replace=False).tolist())
             for _ in range(n_images)
         ]
     for i, concepts in enumerate(triples):
@@ -118,7 +120,7 @@ def _make_split(rng, basis, n_images, disjoint=False, filler=True,
         for j in range(5):
             toks = [c + 4 for c in concepts]
             if filler:
-                fill = rng.integers(1, 4, TL - len(toks))
+                fill = rng.integers(1, 1 + filler_ids, TL - len(toks))
             else:
                 fill = rng.choice(toks, TL - len(toks))
             seq = np.concatenate([toks, fill])
@@ -161,10 +163,16 @@ def _best_of(evals):
     return max(evals, key=lambda r: r["rsum"])
 
 
-def _itrx_train_and_eval(cfg, state_list, batches, test):
+def _itrx_train_and_eval(cfg, state_list, batches, test, train_fields=None,
+                         test_fields=None):
     """Train itrx from converted weights; eval the test split with itrx's
     own embed + similarity + ranking at each selection-window checkpoint
-    and return the best (the reference's best_rsum model selection)."""
+    and return the best (the reference's best_rsum model selection).
+
+    `train_fields(imgs, ids, mask) -> dict` adds method-specific batch
+    entries per train step (VSRN decoder labels, SAEM/CAMERA type_ids,
+    CAMERA box geometry); `test_fields` adds the same for the eval embed
+    batch (already at caption cardinality, i.e. 5 rows per image)."""
     import jax
     import jax.numpy as jnp
 
@@ -192,15 +200,14 @@ def _itrx_train_and_eval(cfg, state_list, batches, test):
         final = {"params": state.params}
         if state.batch_stats:
             final["batch_stats"] = state.batch_stats
-        e = model.apply(
-            final,
-            {
-                "images": jnp.asarray(np.repeat(t_imgs, 5, axis=0)),
-                "cap_ids": jnp.asarray(t_caps.astype(np.int32)),
-                "cap_mask": jnp.asarray(t_mask),
-            },
-            train=False, method="embed",
-        )
+        eb = {
+            "images": jnp.asarray(np.repeat(t_imgs, 5, axis=0)),
+            "cap_ids": jnp.asarray(t_caps.astype(np.int32)),
+            "cap_mask": jnp.asarray(t_mask),
+        }
+        for k, v in (test_fields or {}).items():
+            eb[k] = jnp.asarray(v)
+        e = model.apply(final, eb, train=False, method="embed")
         sims = model.apply(
             final, e["img"][::5], e["cap"], e.get("cap_mask"),
             train=False, method="similarity",
@@ -215,6 +222,11 @@ def _itrx_train_and_eval(cfg, state_list, batches, test):
             "cap_ids": jnp.asarray(ids.astype(np.int32)),
             "cap_mask": jnp.asarray(mask),
         }
+        if train_fields is not None:
+            jb.update({
+                k: jnp.asarray(v)
+                for k, v in train_fields(imgs, ids, mask).items()
+            })
         state, aux = step(state, jb, jax.random.PRNGKey(i), 0)
         if _in_window(i + 1, n):
             evals.append(_eval_now())
@@ -427,3 +439,225 @@ def test_sgraf_convergence(ref, planted_sgraf):
 
     r_itrx, loss_itrx = _itrx_train_and_eval(cfg, state_list, batches, test)
     _report("SGRAF-SGR", r_ref, r_itrx, loss_itrx, tol=RSUM_TOL_SGRAF)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 verdict item 2: the remaining three methods — exactly the models
+# where 12-step trajectory parity cannot expose drift (VSRN's BatchNorm
+# running stats + joint caption-decoder loss, SAEM's frozen BERT +
+# scheduled loss mix, CAMERA's frozen BERT + AGSA/BatchNorm towers).
+
+STEPS_VSRN = 1600
+
+
+def test_vsrn_convergence(ref, planted):
+    """VSRN (ref Models.py:229-365): GCN+GRU image tower with f30k
+    BatchNorm, joint retrieval + caption-decoder loss.  BN running stats
+    and the decoder head only show errors after hundreds of steps."""
+    train, test, batches = planted
+    cfg = _base_cfg(
+        name="VSRN", img_dim=D, dim_vid=E, dim_hidden=24, rnn_type="gru",
+        bidirectional=0, input_dropout_p=0.0, rnn_dropout_p=0.0,
+        dim_word=W, max_len=L, max_violation=True, embed_size=E,
+        learning_rate=1e-3, lr_update=1000,
+    )
+    torch.cuda.synchronize = lambda *a, **k: None  # calcualte_caption_loss
+    torch.manual_seed(103)
+    m = ref.Models.VSRN(cfg)
+    # caption model is not in the reference state_dict (Models.py:37-40);
+    # both sides must start the caption-loss path from identical weights
+    state_list = copy.deepcopy(m.state_dict() + [m.caption_model.state_dict()])
+
+    batches = batches[:STEPS_VSRN]
+    tds = [
+        _ref_batch_to_train_data({"images": i, "cap_ids": c}, l, k)
+        for i, c, k, l in batches
+    ]
+    t_imgs, t_caps, t_mask = test
+
+    def _eval_ref():
+        t_img, t_cap, _ = m.forward_emb(
+            torch.from_numpy(t_imgs), torch.from_numpy(t_caps),
+            [TL] * len(t_caps),
+        )
+        return _ref_eval(t_img @ t_cap.T)
+
+    r_ref = _ref_train_with_evals(m, tds, _eval_ref)
+
+    r_itrx, loss_itrx = _itrx_train_and_eval(
+        cfg, state_list, batches, test,
+        train_fields=lambda i, c, k: {
+            "label_ids": c.astype(np.int32), "label_mask": k,
+        },
+    )
+    _report("VSRN", r_ref, r_itrx, loss_itrx)
+
+
+# --- BERT-method fixture: concept ids must fit the tiny-BERT vocab of 64 ---
+
+import os as _os
+
+K_BERT = 48          # concept tokens at ids 4..51
+N_TEST_BERT = 16     # 3*16 = 48 = K_BERT (disjoint partition)
+STEPS_SAEM = 1600
+# CAMERA converges slower (frozen BERT + AGSA/BN towers): at 1600 steps the
+# reference is still climbing (probed ref 538.8 vs itrx 565.0); by 3200 both
+# sit above the floor (ref 576.2 vs itrx 572.5)
+STEPS_CAMERA = int(_os.environ.get("ITRX_CONV_STEPS_CAMERA", 3200))
+STEPS_BERT = max(STEPS_SAEM, STEPS_CAMERA)
+# CAMERA's similarity inputs are LEARNED multi-view towers (AGSA + BN +
+# frozen BERT); like SGRAF, its test recall jitters several rsum points
+# checkpoint-to-checkpoint after the loss empties (probed: itrx best moved
+# 565.0 -> 572.5 and ref 538.8 -> 576.2 between 1600 and 3200 steps, the
+# ORDER flipping) — a 2-point bar would measure that plateau noise
+RSUM_TOL_CAMERA = 8.0
+
+
+@pytest.fixture(scope="module")
+def planted_bert():
+    """Planted dataset sized for the frozen tiny-BERT methods (vocab 64),
+    with per-image box geometry for CAMERA (a property of the image,
+    constant across steps).  Captions carry no filler words (filler=False):
+    CAMERA's text tower mean-pools tokens INCLUDING pads (the reference's
+    pad-inclusive mean quirk, TextEncoder.py:187-189), so filler dilutes
+    the concept signal and stalls it short of the recall ceiling (probed:
+    536/544 rsum with filler at 1600 steps)."""
+    rng = np.random.default_rng(43)
+    basis = 1.5 * rng.standard_normal((K_BERT, D)).astype(np.float32)
+    train, _ = _make_split(rng, basis, N_TRAIN, filler=False)
+    test, _ = _make_split(rng, basis, N_TEST_BERT, disjoint=True, filler=False)
+    boxes_train = rng.uniform(0, 90, (N_TRAIN, R, 4)).astype(np.float32)
+    boxes_train[..., 2:] += 5.0
+    boxes_test = rng.uniform(0, 90, (N_TEST_BERT, R, 4)).astype(np.float32)
+    boxes_test[..., 2:] += 5.0
+    wh_train = np.full((N_TRAIN, 2), 100.0, np.float32)
+    wh_test = np.full((N_TEST_BERT, 2), 100.0, np.float32)
+
+    brng = np.random.default_rng(9)
+    batches = []
+    for _ in range(STEPS_BERT):
+        img_idx = brng.choice(N_TRAIN, size=B, replace=False)
+        cap_j = brng.integers(0, 5, B)
+        batches.append((
+            train[0][img_idx],
+            train[1][img_idx * 5 + cap_j],
+            train[2][img_idx * 5 + cap_j],
+            np.full(B, TL, np.int64),
+            boxes_train[img_idx],
+            wh_train[img_idx],
+        ))
+    return train, test, batches, (boxes_test, wh_test)
+
+
+def test_saem_convergence(ref, traj_bert, planted_bert):
+    """SAEM (ref Models.py:369-464): frozen BERT text tower + transformer
+    image mapping, contrastive(pdist_cos) + alpha*angular + weight reg.
+    The reference never forwards the epoch (bug #6) so alpha stays 0.5;
+    both sides train at epoch=0 to compare like with like."""
+    _, test, batches, _ = planted_bert
+    cfg = _base_cfg(
+        name="SAEM", img_dim=D, final_dims=24, txt_stru="cnn",
+        vocab_size=64, max_violation=True, learning_rate=5e-4,
+        lr_update=1000, **traj_bert,
+    )
+    torch.manual_seed(104)
+    m = ref.Models.SAEM(cfg)
+    state_list = copy.deepcopy(m.state_dict())
+
+    batches = batches[:STEPS_SAEM]
+    tds = [
+        _ref_batch_to_train_data(
+            {"images": i, "cap_ids": c}, l, k, type_ids=np.zeros_like(c)
+        )
+        for i, c, k, l, _, _ in batches
+    ]
+    t_imgs, t_caps, t_mask = test
+
+    def _eval_ref():
+        t_img, t_cap = m.forward_emb(
+            torch.from_numpy(t_imgs),
+            torch.from_numpy(t_caps),
+            torch.from_numpy(t_mask.astype(np.int64)),
+            torch.from_numpy(np.zeros_like(t_caps)),
+            [TL] * len(t_caps),
+        )
+        return _ref_eval(m.criterion.sim(t_img, t_cap, [TL] * len(t_caps), cfg))
+
+    r_ref = _ref_train_with_evals(m, tds, _eval_ref)
+
+    r_itrx, loss_itrx = _itrx_train_and_eval(
+        cfg, state_list,
+        [(i, c, k, l) for i, c, k, l, _, _ in batches], test,
+        train_fields=lambda i, c, k: {
+            "type_ids": np.zeros_like(c, dtype=np.int32),
+        },
+        test_fields={"type_ids": np.zeros(t_caps.shape, np.int32)},
+    )
+    _report("SAEM", r_ref, r_itrx, loss_itrx)
+
+
+def test_camera_convergence(ref, traj_bert, planted_bert):
+    """CAMERA (ref Models.py:550-645): frozen BERT + AGSA/BatchNorm towers,
+    multi-view matching + diversity regularization."""
+    _, test, batches, (boxes_test, wh_test) = planted_bert
+    cfg = _base_cfg(
+        name="CAMERA", img_dim=D, vocab_size=64, head=4, smry_k=6,
+        drop=0.0, batch_size=B, smry_lamda=0.01, max_violation=True,
+        learning_rate=5e-4, lr_update=1000,
+        bert_config_file=traj_bert["bert_config_file"],
+        init_checkpoint=traj_bert["init_checkpoint"],
+    )
+    torch.manual_seed(105)
+    m = ref.Models.CAMERA(cfg)
+    state_list = copy.deepcopy(m.state_dict())
+
+    batches = batches[:STEPS_CAMERA]
+    tds = [
+        _ref_batch_to_train_data(
+            {"images": i, "cap_ids": c}, l, k,
+            type_ids=np.zeros_like(c), boxes=bx, wh=wh,
+        )
+        for i, c, k, l, bx, wh in batches
+    ]
+    t_imgs, t_caps, t_mask = test
+
+    def _eval_ref():
+        t_img, t_cap, _ = m.forward_emb(
+            torch.from_numpy(t_imgs),
+            torch.from_numpy(boxes_test),
+            torch.from_numpy(wh_test),
+            torch.from_numpy(t_caps),
+            torch.from_numpy(t_mask.astype(np.int64)),
+            torch.from_numpy(np.zeros_like(t_caps)),
+        )
+        return _ref_eval(m.mvm(t_img, t_cap))
+
+    r_ref = _ref_train_with_evals(m, tds, _eval_ref)
+
+    boxes_test5 = np.repeat(boxes_test, 5, axis=0)
+    wh_test5 = np.repeat(wh_test, 5, axis=0)
+    r_itrx, loss_itrx = _itrx_train_and_eval(
+        cfg, state_list,
+        [(i, c, k, l) for i, c, k, l, _, _ in batches], test,
+        train_fields=_camera_train_fields(batches),
+        test_fields={
+            "type_ids": np.zeros(t_caps.shape, np.int32),
+            "boxes": boxes_test5, "imgs_wh": wh_test5,
+        },
+    )
+    _report("CAMERA", r_ref, r_itrx, loss_itrx, tol=RSUM_TOL_CAMERA)
+
+
+def _camera_train_fields(batches):
+    """Per-step extra fields keyed by step order (the helper calls
+    train_fields(imgs, ids, mask) in batch order)."""
+    it = iter(batches)
+
+    def fields(i, c, k):
+        _, _, _, _, bx, wh = next(it)
+        return {
+            "type_ids": np.zeros_like(c, dtype=np.int32),
+            "boxes": bx, "imgs_wh": wh,
+        }
+
+    return fields
