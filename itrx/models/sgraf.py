@@ -320,25 +320,26 @@ class _ChunkScorer(nn.Module):
             and kernel_shapes_ok
             and pallas_ok()
         ):
-            # eval-only mega-fusion: alignment + all SGR steps + node-0
-            # extraction in ONE Pallas grid (itrx/ops/pallas/sgraf_eval.py).
-            # The (C*Ni, L+1, sim_dim) node tensor never touches HBM — at
-            # 1K-test scale the two-kernel train path still round-trips it
-            # four times (alignment write, global-node concat, SGR read,
-            # SGR per-step saves), which profiling showed was most of the
-            # eval's HBM traffic.  Only sim_glo (XLA, one matmul) and the
-            # final sim_eval_w Linear stay outside.
+            # eval-only mega-fusion: global node + alignment + all SGR
+            # steps + sim_eval_w epilogue in ONE Pallas grid
+            # (itrx/ops/pallas/sgraf_eval.py).  Neither the (C*Ni, L+1,
+            # sim_dim) node tensor nor the (C, Ni, sim_dim) sim_glo tensor
+            # ever touches HBM — at 1K-test scale the two-kernel train path
+            # still round-trips the nodes four times (alignment write,
+            # global-node concat, SGR read, SGR per-step saves), which
+            # profiling showed was most of the eval's HBM traffic.
             from ..ops.pallas.sgraf_eval import (
                 sgraf_eval_auto, sgraf_eval_saf_auto,
             )
 
-            sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2
-            sim_glo = l2norm(
-                XavierLinear(self.sim_dim, name="sim_tranglo_w")(sim_glo),
-                axis=-1,
-            )  # (C, Ni, S)
+            gw, gb = XavierLinear(self.sim_dim, name="sim_tranglo_w")(
+                d, params_only=True
+            )
             w, bb = XavierLinear(self.sim_dim, name="sim_tranloc_w")(
                 d, params_only=True
+            )
+            ew, eb = XavierLinear(1, name="sim_eval_w")(
+                self.sim_dim, params_only=True
             )
             if self.module_name == "SGR":
                 prm = [
@@ -348,11 +349,11 @@ class _ChunkScorer(nn.Module):
                     for i in range(self.sgr_step)
                 ]
                 stack = lambda j, k_: jnp.stack([p[j][k_] for p in prm])
-                sim_vec = sgraf_eval_auto(
-                    cap_c, mask_c, img_emb, sim_glo, w, bb,
+                sim_i = sgraf_eval_auto(
+                    cap_c, mask_c, img_emb, glo_c, img_glo, w, bb, gw, gb,
                     stack(0, 0), stack(0, 1), stack(1, 0), stack(1, 1),
-                    stack(2, 0), stack(2, 1),
-                ).reshape(c * ni, self.sim_dim)
+                    stack(2, 0), stack(2, 1), ew, eb,
+                )  # (C, Ni) fp32 scores
             else:
                 (awk, awb), (bsc, bbi, bmean, bvar) = AttentionFiltration(
                     self.sim_dim, train=self.train, cap_rows=c, name="SAF"
@@ -372,13 +373,11 @@ class _ChunkScorer(nn.Module):
                     (1, self.sim_dim),
                     awb.astype(f32)[0] * aprime + bprime, f32,
                 )
-                sim_vec = sgraf_eval_saf_auto(
-                    cap_c, mask_c, img_emb, sim_glo, w, bb, awf, abf,
-                ).reshape(c * ni, self.sim_dim)
-            sim_i = jax.nn.sigmoid(
-                XavierLinear(1, name="sim_eval_w")(sim_vec).astype(jnp.float32)
-            )[:, 0]
-            return sim_i.reshape(c, ni).T  # (Ni, C)
+                sim_i = sgraf_eval_saf_auto(
+                    cap_c, mask_c, img_emb, glo_c, img_glo, w, bb, gw, gb,
+                    awf, abf, ew, eb,
+                )  # (C, Ni) fp32 scores
+            return sim_i.T  # (Ni, C)
 
         def _norm(x, axis):
             # l2 normalization with fp32-accumulated sum of squares (bf16
@@ -476,24 +475,24 @@ def _fused_eval_whole(img_emb, img_glo, cap_emb, cap_mask, cap_glo,
 
     The per-chunk Python loop costs ~32 relay dispatches per f30k-1K eval
     (tiles x chunks); here the similarity for the full (Ni, Nc) grid is one
-    jitted call — a lax.scan over caption super-chunks whose body computes
-    the sim_glo global-alignment nodes and runs the fused eval kernel
-    (sgraf_eval.py grids over caption blocks internally).  Super-chunking
-    bounds the (sc, Ni, D) squared-diff tensor and the kernel's
-    (sc, Ni, S) glo/out blocks to ~0.5GB each at any Nc (coco-testall
-    included).  All inputs must already be in the compute dtype.
+    jitted call — a lax.scan over caption super-chunks around the fused
+    eval kernel (sgraf_eval.py grids over caption blocks internally; the
+    global node and the sim_eval_w epilogue run inside it, so the scan
+    body is nothing but the kernel).  Super-chunking bounds the kernel's
+    HBM-resident caption blocks and (sc, Ni) score output to ~0.5GB at any
+    Nc (coco-testall included) — at f30k-1K scale it resolves to a single
+    chunk.  All inputs must already be in the compute dtype.
     """
     (gw, gb), (w, bb), mod, (ew, eb) = weights
     ni, _, d = img_emb.shape
     nc, l, _ = cap_emb.shape
-    cdt = cap_emb.dtype
 
     lp = -(-l // 8) * 8  # kernel wants L % 8 == 0
     if lp != l:
         cap_emb = jnp.pad(cap_emb, ((0, 0), (0, lp - l), (0, 0)))
         cap_mask = jnp.pad(cap_mask, ((0, 0), (0, lp - l)))
 
-    sc_max = max(32, (512 << 20) // (ni * d * 2))
+    sc_max = max(32, (512 << 20) // (ni * 4 + lp * d * 2))
     k = -(-nc // sc_max)            # number of super-chunks
     sc = -(-nc // k)                # balanced size ...
     sc = ((sc + 7) // 8) * 8        # ... rounded up to %8
@@ -507,23 +506,13 @@ def _fused_eval_whole(img_emb, img_glo, cap_emb, cap_mask, cap_glo,
 
     def body(_, xs):
         cap_c, mask_c, glo_c = xs
-        sim_glo = (img_glo[None, :, :] - glo_c[:, None, :]) ** 2  # (sc,Ni,D)
-        sim_glo = l2norm(
-            sim_glo @ gw.astype(cdt) + gb.astype(cdt), axis=-1
-        )  # (sc, Ni, S)
         if module_name == "SGR":
-            sim_vec = sgraf_eval_auto(cap_c, mask_c, img_emb, sim_glo,
-                                      w, bb, *mod)
+            si = sgraf_eval_auto(cap_c, mask_c, img_emb, glo_c, img_glo,
+                                 w, bb, gw, gb, *mod, ew, eb)
         else:
-            sim_vec = sgraf_eval_saf_auto(cap_c, mask_c, img_emb, sim_glo,
-                                          w, bb, *mod)
-        sv = sim_vec.reshape(sc * ni, sim_dim)
-        si = jax.nn.sigmoid(
-            (sv @ ew.astype(sv.dtype) + eb.astype(sv.dtype)).astype(
-                jnp.float32
-            )
-        )
-        return None, si[:, 0].reshape(sc, ni)
+            si = sgraf_eval_saf_auto(cap_c, mask_c, img_emb, glo_c, img_glo,
+                                     w, bb, gw, gb, *mod, ew, eb)
+        return None, si  # (sc, Ni) fp32 scores
 
     _, out = jax.lax.scan(
         body,

@@ -5,15 +5,21 @@ attribution) directly at f30k-1K bucket shapes on the current chip, sweeping
 the caption block size, and reports achieved vs padded-lane speed-of-light.
 
 FLOP model per (caption-block bc, image) grid step, L words padded, Rp=40
-regions, D=1024, S=256, SGR steps=3 (2 full + node-0 trimmed):
+regions, D=1024, S=256, SGR steps=3 (2 full + node-0 trimmed), round-5
+kernel (q/k folded to M = Wq Wk^T / v = Wk bq; global node + sim_eval_w
+epilogue in-kernel; n = L+8 concatenated nodes):
 
+  glo node:  y = diff^2.Wg   2*bc*D*S        (clean)
   alignment: a = cap.img^T   2*bc*L*D*Rp     (lanes Rp->128: 3.2x pad)
              ctx = s.img     2*bc*L*Rp*D     (contraction 40->128 pad)
              y = diff.W      2*bc*L*D*S      (clean)
-  SGR full:  q,k,g projs     3 * 2*bc*n*S*S  (clean, n=L+8)
-             e = q.k^T       2*bc*n*n*S      (M,N=24->128: ~28x pad)
-             ctx = a.nodes   2*bc*n*n*S      (same)
-  node-0:    k proj + 1-row q/e/ctx/g
+  SGR full:  sm,g projs      2 * 2*bc*n*S*S  (clean; ref had 3: q,k,g)
+             e = sm.S^T      2*bc*n*n*S      (M,N=n->128: lane pad)
+             ctx = a.S       2*bc*n*n*S      (same)
+             sv bias         VPU
+  node-0:    sm row + g proj 2 * 2*bc*S*S; e/ctx rows are VPU
+             (the ref k projection over all n nodes is gone)
+  epilogue:  2*bc*S VPU
 
 Shapes default to ONE production length bucket (the engine buckets the
 5000 f30k-1K captions by padded length, ~1250 captions/bucket — it never
@@ -44,10 +50,11 @@ PEAK_BF16 = 197e12  # v5e chip
 
 def flops_per_step(bc, l):
     n = l + 8
+    glo = 2 * bc * D * S
     aln = 2 * bc * l * D * R + 2 * bc * l * R * D + 2 * bc * l * D * S
-    full = 3 * 2 * bc * n * S * S + 2 * 2 * bc * n * n * S
-    node0 = 2 * bc * n * S * S + 2 * bc * n * S + 2 * bc * n * S + 2 * bc * S * S
-    return aln + (STEPS - 1) * full + node0
+    full = 2 * 2 * bc * n * S * S + 2 * 2 * bc * n * n * S
+    node0 = 4 * bc * S * S + 6 * bc * n * S
+    return glo + aln + (STEPS - 1) * full + node0
 
 
 def eff_flops_per_step(bc, l):
@@ -59,18 +66,19 @@ def eff_flops_per_step(bc, l):
     this lower bound."""
     n = l + 8
     pad = lambda x, m=128: -(-x // m) * m
+    glo = 2 * bc * D * S
     aln = (
         2 * bc * l * D * pad(R)            # a = cap.img^T: N pad 40->128
         + 2 * bc * l * pad(R) * D          # ctx = s.img:   K pad 40->128
         + 2 * bc * l * D * S
     )
     full = (
-        3 * 2 * bc * n * S * S             # q/k/g projections (clean)
-        + 2 * bc * n * S * pad(n)          # e = q.k^T: N pad 24->128
-        + 2 * bc * n * pad(n) * S          # ctx = a.nodes: K pad 24->128
+        2 * 2 * bc * n * S * S             # sm/g projections (clean)
+        + 2 * bc * n * S * pad(n)          # e = sm.S^T: N pad n->128
+        + 2 * bc * n * pad(n) * S          # ctx = a.S: K pad n->128
     )
-    node0 = 2 * bc * n * S * S + 2 * bc * S * S  # k proj + g row (e/ctx rows are VPU)
-    return aln + (STEPS - 1) * full + node0
+    node0 = 4 * bc * S * S                 # sm + g rows (e/ctx rows are VPU)
+    return glo + aln + (STEPS - 1) * full + node0
 
 
 def bench(fn, *args, reps=3, scale_arg=0):
@@ -115,7 +123,12 @@ def main():
     img = jnp.asarray(rng.standard_normal((NI, R, D)).astype(np.float32), dt)
     w = jnp.asarray(0.05 * rng.standard_normal((D, S)).astype(np.float32), dt)
     b = jnp.asarray(0.01 * rng.standard_normal(S).astype(np.float32))
-    glo = jnp.asarray(rng.standard_normal((NC, NI, S)).astype(np.float32), dt)
+    gloc = jnp.asarray(rng.standard_normal((NC, D)).astype(np.float32), dt)
+    imgglo = jnp.asarray(rng.standard_normal((NI, D)).astype(np.float32), dt)
+    gw = jnp.asarray(0.05 * rng.standard_normal((D, S)).astype(np.float32), dt)
+    gb = jnp.asarray(0.01 * rng.standard_normal(S).astype(np.float32))
+    ew = jnp.asarray(0.05 * rng.standard_normal((S, 1)).astype(np.float32))
+    eb = jnp.asarray(0.01 * rng.standard_normal(1).astype(np.float32))
     wq, wk, wg = (
         jnp.asarray(0.05 * rng.standard_normal((STEPS, S, S)).astype(np.float32), dt)
         for _ in range(3)
@@ -141,7 +154,8 @@ def main():
                 # become HLO constants and blow the relay's compile-payload
                 # limit (HTTP 413) at bucket scale
                 lambda c, *a: sgraf_eval_score(c, *a, block_c=bc),
-                cap, mask, img, w, b, glo, wq, bq, wk, bk, wg, bg,
+                cap, mask, img, w, b, gloc, imgglo, gw, gb,
+                wq, bq, wk, bk, wg, bg, ew, eb,
             )
         except Exception as e:  # noqa: BLE001 - sweep survives bad configs
             print(f"SGR  bc={bc:4d}: FAILED ({type(e).__name__}: "
@@ -159,7 +173,7 @@ def main():
     try:
         t = bench(
             lambda c, *a: sgraf_eval_saf_score(c, *a, block_c=bc),
-            cap, mask, img, w, b, glo, awf, abf,
+            cap, mask, img, w, b, gloc, imgglo, gw, gb, awf, abf, ew, eb,
         )
         print(f"SAF  bc={bc:4d}: {t:6.3f}s  {pairs / t / 1e6:6.2f}M pairs/s "
               f"(alignment + filtration only)", flush=True)

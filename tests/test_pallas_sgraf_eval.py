@@ -78,36 +78,50 @@ def test_eval_kernel_train_path_untouched(rng):
 
 
 def test_eval_kernel_node0_trim_exact(rng):
-    """The trimmed last step (one query/context row) must equal running the
-    full last step and slicing node 0 — directly against the raw kernel."""
+    """The q/k fold (edge = S (Wq Wk^T) S^T + key-side bias, per-row
+    constants dropped by softmax), the split node set, the node-0-trimmed
+    last step, the in-kernel global node, and the sim_eval_w epilogue must
+    together equal the naive reference: full q/k projections on the
+    concatenated node tensor, FULL last step, slice node 0, Linear +
+    sigmoid — directly against the raw kernel, fp32."""
     d, s, steps = 256, 256, 3
-    img, cap, mask = _data(rng, ni=4, nc=9, l=16, d=d)
+    ni, ncap = 4, 9
+    img, cap, mask = _data(rng, ni=ni, nc=ncap, l=16, d=d)
     w = jnp.asarray((rng.standard_normal((d, s)) * 0.05).astype(np.float32))
     b = jnp.asarray((rng.standard_normal(s) * 0.01).astype(np.float32))
-    glo = jnp.asarray(rng.standard_normal((9, 4, s)).astype(np.float32))
+    gloc = jnp.asarray(rng.standard_normal((ncap, d)).astype(np.float32))
+    imgglo = jnp.asarray(rng.standard_normal((ni, d)).astype(np.float32))
+    gw = jnp.asarray((rng.standard_normal((d, s)) * 0.05).astype(np.float32))
+    gb = jnp.asarray((rng.standard_normal(s) * 0.01).astype(np.float32))
     wq = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
     bq = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
     wk = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
     bk = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
     wg = jnp.asarray((rng.standard_normal((steps, s, s)) * 0.05).astype(np.float32))
     bg = jnp.asarray((rng.standard_normal((steps, s)) * 0.01).astype(np.float32))
+    ew = jnp.asarray((rng.standard_normal((s, 1)) * 0.05).astype(np.float32))
+    eb = jnp.asarray((rng.standard_normal(1) * 0.01).astype(np.float32))
 
-    got = sgraf_eval_score(cap, mask, img, w, b, glo,
-                           wq, bq, wk, bk, wg, bg, interpret=True)
+    got = sgraf_eval_score(cap, mask, img, w, b, gloc, imgglo, gw, gb,
+                           wq, bq, wk, bk, wg, bg, ew, eb, interpret=True)
 
     # reference: alignment chain + FULL GraphReasoning steps, slice node 0
+    from itrx.ops.norms import l2norm
     from tests.test_sgraf_align import _ref_chain
 
     sim_loc = _ref_chain(cap, mask, img, w, b)  # (C, Ni, L, S)
-    nc, ni, l, _ = sim_loc.shape
+    nc, niw, l, _ = sim_loc.shape
+    glo = l2norm(
+        (imgglo[None, :, :] - gloc[:, None, :]) ** 2 @ gw + gb, axis=-1
+    )  # (C, Ni, S)
     nodes = jnp.concatenate(
-        [jnp.transpose(glo, (0, 1, 2))[:, :, None, :], sim_loc], axis=2
-    ).reshape(nc * ni, l + 1, s)
+        [glo[:, :, None, :], sim_loc], axis=2
+    ).reshape(nc * niw, l + 1, s)
     nmask = jnp.concatenate(
         [jnp.ones((nc, 1), jnp.float32), mask], axis=1
     )
-    nmask = jnp.broadcast_to(nmask[:, None, :], (nc, ni, l + 1)).reshape(
-        nc * ni, l + 1
+    nmask = jnp.broadcast_to(nmask[:, None, :], (nc, niw, l + 1)).reshape(
+        nc * niw, l + 1
     )
     for i in range(steps):
         q = nodes @ wq[i] + bq[i]
@@ -116,7 +130,7 @@ def test_eval_kernel_node0_trim_exact(rng):
         e = jnp.where(nmask[:, None, :] > 0, e, -1e18)
         a = jax.nn.softmax(e, axis=-1)
         nodes = jax.nn.relu(jnp.einsum("bnm,bmd->bnd", a, nodes) @ wg[i] + bg[i])
-    want = nodes[:, 0, :].reshape(nc, ni, s)
+    want = jax.nn.sigmoid(nodes[:, 0, :] @ ew + eb)[:, 0].reshape(nc, niw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-4)
 
@@ -221,11 +235,14 @@ def _raw_kernel_inputs(rng, ni=11, nc=13, l=16, d=256, s=256, steps=3):
         (rng.standard_normal(sh) * 0.05).astype(np.float32)
     )
     w, b = f(d, s), f(s)
-    glo = f(nc, ni, s)
+    gloc, imgglo = f(nc, d), f(ni, d)
+    gw, gb = f(d, s), f(s)
+    ew, eb = f(s, 1), f(1)
     wq, bq = f(steps, s, s), f(steps, s)
     wk, bk = f(steps, s, s), f(steps, s)
     wg, bg = f(steps, s, s), f(steps, s)
-    return img, cap, mask, w, b, glo, (wq, bq, wk, bk, wg, bg)
+    return (img, cap, mask, w, b, gloc, imgglo, gw, gb,
+            (wq, bq, wk, bk, wg, bg), ew, eb)
 
 
 def test_raw_eval_kernel_sharded_exact(rng):
@@ -235,13 +252,17 @@ def test_raw_eval_kernel_sharded_exact(rng):
     from itrx.parallel import mesh as pmesh
     from itrx.ops.pallas.sgraf_eval import sgraf_eval_auto
 
-    img, cap, mask, w, b, glo, sgr_p = _raw_kernel_inputs(rng)
+    (img, cap, mask, w, b, gloc, imgglo, gw, gb, sgr_p, ew, eb) = (
+        _raw_kernel_inputs(rng)
+    )
     with pk.force_interpret():
-        direct = sgraf_eval_auto(cap, mask, img, glo, w, b, *sgr_p)
+        direct = sgraf_eval_auto(cap, mask, img, gloc, imgglo, w, b, gw, gb,
+                                 *sgr_p, ew, eb)
         pk.reset_dispatch()
         mesh = pmesh.make_mesh(devices=jax.devices()[:8])
         with pk.shard_ctx(mesh):
-            sharded = sgraf_eval_auto(cap, mask, img, glo, w, b, *sgr_p)
+            sharded = sgraf_eval_auto(cap, mask, img, gloc, imgglo, w, b,
+                                      gw, gb, *sgr_p, ew, eb)
     assert pk.dispatch_counts().get("sgraf_eval_fused_sharded", 0) >= 1
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
                                atol=2e-6, rtol=2e-6)
@@ -252,15 +273,19 @@ def test_raw_eval_saf_kernel_sharded_exact(rng):
     from itrx.parallel import mesh as pmesh
     from itrx.ops.pallas.sgraf_eval import sgraf_eval_saf_auto
 
-    img, cap, mask, w, b, glo, _ = _raw_kernel_inputs(rng)
+    (img, cap, mask, w, b, gloc, imgglo, gw, gb, _, ew, eb) = (
+        _raw_kernel_inputs(rng)
+    )
     awf = jnp.asarray((rng.standard_normal((1, 256)) * 0.05).astype(np.float32))
     abf = jnp.asarray((rng.standard_normal((1, 256)) * 0.05).astype(np.float32))
     with pk.force_interpret():
-        direct = sgraf_eval_saf_auto(cap, mask, img, glo, w, b, awf, abf)
+        direct = sgraf_eval_saf_auto(cap, mask, img, gloc, imgglo, w, b,
+                                     gw, gb, awf, abf, ew, eb)
         pk.reset_dispatch()
         mesh = pmesh.make_mesh(devices=jax.devices()[:8])
         with pk.shard_ctx(mesh):
-            sharded = sgraf_eval_saf_auto(cap, mask, img, glo, w, b, awf, abf)
+            sharded = sgraf_eval_saf_auto(cap, mask, img, gloc, imgglo, w, b,
+                                          gw, gb, awf, abf, ew, eb)
     assert pk.dispatch_counts().get("sgraf_eval_saf_fused_sharded", 0) >= 1
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
                                atol=2e-6, rtol=2e-6)
