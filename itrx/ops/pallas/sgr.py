@@ -17,11 +17,23 @@ Mosaic lowers batched `dot_general` (verified on v5e), so the per-row
 (N, D) x (D, N) edge products and (N, N) x (N, D) context products run as
 native batched MXU ops, no block-diagonal tricks needed.
 
-The backward recomputes q/k/edge/softmax per step from the forward-saved
+The backward recomputes the edge softmax per step from the forward-saved
 step inputs (s0..s_{S-1}) — recompute is MXU-cheap; avoiding the saves'
 HBM round trip is what matters — and accumulates the weight/bias
 cotangents in VMEM scratch across the whole grid, writing them once at the
 final grid step.
+
+Round 5 q/k fold (same exact math as the eval kernel,
+itrx/ops/pallas/sgraf_eval.py): the edge logits
+e = (S Wq + bq)(S Wk + bk)^T collapse to S (Wq Wk^T) S^T + (S Wk bq)_key
+plus per-row constants that softmax drops, so the kernels see only
+M = Wq Wk^T and v = Wk bq — ONE node projection per step instead of q+k
+in the forward, and the backward accumulates dM/dv instead of
+dWq/dbq/dWk/dbk (5 projections/step instead of 8).  The wrapper converts:
+dWq = dM Wk, dWk = dM^T Wq + dv (x) bq, dbq = dv Wk, and dbk = 0 — which
+is exact, not an approximation: bk enters the logits only through per-row
+constants, so its gradient through the softmax is identically zero (the
+reference's autodiff produces the same zero up to fp noise).
 """
 
 from __future__ import annotations
@@ -47,40 +59,44 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
     )
 
 
-def _qkea(s, mask, wq_i, bq_i, wk_i, bk_i):
-    """One step's q, k, edge softmax — shared by forward and backward."""
+def _smea(s, mask, m_i, v_i):
+    """One step's folded node projection + edge softmax — shared by forward
+    and backward.  sm = s M; e = sm s^T + (s v)_key-side."""
     rb, n, d = s.shape
     s2 = s.reshape(rb * n, d)
-    q = (_dot2(s2, wq_i) + bq_i).astype(s.dtype).reshape(rb, n, d)
-    k = (_dot2(s2, wk_i) + bk_i).astype(s.dtype).reshape(rb, n, d)
-    e = _bdot(q, k, ((2,), (2,)))  # (rb, n, n) fp32
+    sm = _dot2(s2, m_i).astype(s.dtype).reshape(rb, n, d)
+    # broadcast-multiply-reduce on the 3D shape: a (rb*n,) <-> (rb, n)
+    # reshape is NOT lane-aligned for n=56 and dies in infer-vector-layout
+    # ("unsupported shape cast") on the 2026-08 Mosaic.
+    sv = jnp.sum(s.astype(jnp.float32) * v_i[None, None, :], axis=2)
+    e = _bdot(sm, s, ((2,), (2,))) + sv[:, None, :]  # (rb, n, n) fp32
     e = jnp.where(mask[:, None, :] > 0, e, NEG_INF)
     a = jax.nn.softmax(e, axis=-1)
-    return q, k, a
+    return sm, a
 
 
-def _fwd_kernel(s0_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wg_ref,
+def _fwd_kernel(s0_ref, mask_ref, m_ref, v_ref, wg_ref,
                 bg_ref, *out_refs, steps):
     s = s0_ref[:]
     mask = mask_ref[:]
     rb, n, d = s.shape
     for i in range(steps):
-        _, _, a = _qkea(s, mask, wq_ref[i], bq_ref[i], wk_ref[i], bk_ref[i])
+        _, a = _smea(s, mask, m_ref[i], v_ref[i])
         ctx = _bdot(a.astype(s.dtype), s, ((2,), (1,)))  # (rb, n, d)
         g = _dot2(ctx.astype(s.dtype).reshape(rb * n, d), wg_ref[i]) + bg_ref[i]
         s = jnp.maximum(g, 0.0).astype(s.dtype).reshape(rb, n, d)
         out_refs[i][:] = s
 
 
-def _bwd_kernel(s_refs, mask_ref, g_out_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                wg_ref, bg_ref, g_s0_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
-                dwg_ref, dbg_ref, dwq_s, dbq_s, dwk_s, dbk_s, dwg_s, dbg_s,
+def _bwd_kernel(s_refs, mask_ref, g_out_ref, m_ref, v_ref,
+                wg_ref, bg_ref, g_s0_ref, dm_ref, dv_ref,
+                dwg_ref, dbg_ref, dm_s, dv_s, dwg_s, dbg_s,
                 *, steps, grid_n):
     l = pl.program_id(0)
 
     @pl.when(l == 0)
     def _():
-        for ref in (dwq_s, dbq_s, dwk_s, dbk_s, dwg_s, dbg_s):
+        for ref in (dm_s, dv_s, dwg_s, dbg_s):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
     mask = mask_ref[:]
@@ -89,9 +105,7 @@ def _bwd_kernel(s_refs, mask_ref, g_out_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         s_in = s_refs[i][:]  # input of step i (bf16)
         s_out = s_refs[i + 1][:]  # relu output of step i
         rb, n, d = s_in.shape
-        q, k, a = _qkea(
-            s_in, mask, wq_ref[i], bq_ref[i], wk_ref[i], bk_ref[i]
-        )
+        sm, a = _smea(s_in, mask, m_ref[i], v_ref[i])
         ab = a.astype(s_in.dtype)
         ctx = _bdot(ab, s_in, ((2,), (1,))).astype(s_in.dtype)  # (rb, n, d)
 
@@ -112,30 +126,31 @@ def _bwd_kernel(s_refs, mask_ref, g_out_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         # softmax adjoint (masked cols have a == 0, so their g_e vanishes)
         g_e = a * (g_a - jnp.sum(g_a * a, axis=-1, keepdims=True))
         geb = g_e.astype(s_in.dtype)
-        g_q = _bdot(geb, k, ((2,), (1,)))  # (rb, n, d) fp32
-        g_k = _bdot(geb, q, ((1,), (1,)))  # (rb, m, d) fp32
+        # e = sm s^T + (s v)_key: adjoints of the folded form
+        g_sm = _bdot(geb, s_in, ((2,), (1,)))  # (rb, n, d) fp32
+        g_sin = g_sin + _bdot(geb, sm, ((1,), (1,)))  # += g_e^T sm
 
         s2 = s_in.reshape(rb * n, d)
-        gq2 = g_q.reshape(rb * n, d).astype(s_in.dtype)
-        gk2 = g_k.reshape(rb * n, d).astype(s_in.dtype)
-        dwq_s[i] += _bdot(s2, gq2, ((0,), (0,)), ((), ()))
-        dbq_s[i] += jnp.sum(g_q.reshape(rb * n, d), axis=0)
-        dwk_s[i] += _bdot(s2, gk2, ((0,), (0,)), ((), ()))
-        dbk_s[i] += jnp.sum(g_k.reshape(rb * n, d), axis=0)
+        gsm2 = g_sm.reshape(rb * n, d).astype(s_in.dtype)
+        dm_s[i] += _bdot(s2, gsm2, ((0,), (0,)), ((), ()))  # (d, d)
+        # sv adjoints: column sums of g_e feed dv and the rank-1 ds term
+        # (3D broadcast-reduce; see _smea for why no (rb*n, 1) reshape)
+        colsum = jnp.sum(g_e, axis=1)  # (rb, n)
+        dv_s[i] += jnp.sum(
+            colsum[:, :, None] * s_in.astype(jnp.float32), axis=(0, 1)
+        )
+        g_sin = g_sin + colsum[:, :, None] * v_ref[i][None, None, :]
 
-        g_sin = g_sin + (
-            _bdot(gq2, wq_ref[i], ((1,), (1,)), ((), ()))
-            + _bdot(gk2, wk_ref[i], ((1,), (1,)), ((), ()))
+        g_sin = g_sin + _bdot(
+            gsm2, m_ref[i], ((1,), (1,)), ((), ())
         ).reshape(rb, n, d)
         g = g_sin
     g_s0_ref[:] = g.astype(g_s0_ref.dtype)
 
     @pl.when(l == grid_n - 1)
     def _():
-        dwq_ref[:] = dwq_s[:]
-        dbq_ref[:] = dbq_s[:]
-        dwk_ref[:] = dwk_s[:]
-        dbk_ref[:] = dbk_s[:]
+        dm_ref[:] = dm_s[:]
+        dv_ref[:] = dv_s[:]
         dwg_ref[:] = dwg_s[:]
         dbg_ref[:] = dbg_s[:]
 
@@ -156,8 +171,8 @@ def _vmem_params(rb, np_, d, steps):
     # blocks: s0 + steps saves (double-buffered) + weights + fp32 transients
     block = rb * np_ * d * 2
     budget = (steps + 2) * 2 * block + steps * 3 * d * d * 2
-    budget += 4 * rb * np_ * max(np_, d) * 4 + steps * 3 * d * d * 4
-    budget += 8 << 20
+    budget += 5 * rb * np_ * max(np_, d) * 4 + steps * 3 * d * d * 4
+    budget += 12 << 20
     return pltpu.CompilerParams(vmem_limit_bytes=int(budget))
 
 
@@ -175,6 +190,15 @@ def sgr_reason(s0, mask, wq, bq, wk, bk, wg, bg, interpret: bool = False):
     return out
 
 
+def _fold_qk(wq, bq, wk):
+    """M = Wq Wk^T, v = Wk bq per step, fp32 (module docstring: the q/k
+    fold; bk drops out of the folded logits entirely)."""
+    f32 = jnp.float32
+    mm = jnp.einsum("sao,sbo->sab", wq.astype(f32), wk.astype(f32))
+    vv = jnp.einsum("sbo,so->sb", wk.astype(f32), bq.astype(f32))
+    return mm, vv
+
+
 def _fwd_impl(s0, mask, wq, bq, wk, bk, wg, bg, interpret):
     b, n, d = s0.shape
     steps = wq.shape[0]
@@ -184,6 +208,7 @@ def _fwd_impl(s0, mask, wq, bq, wk, bk, wg, bg, interpret):
     maskp = _pad_axis(_pad_axis(mask.astype(jnp.float32), np_, 1), bp, 0)
     wdt = s0.dtype
     grid = bp // _ROW_BLOCK
+    mm, vv = _fold_qk(wq, bq, wk)
 
     row_spec = pl.BlockSpec(
         (_ROW_BLOCK, np_, d), lambda l: (l, 0, 0), memory_space=pltpu.VMEM
@@ -203,10 +228,6 @@ def _fwd_impl(s0, mask, wq, bq, wk, bk, wg, bg, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, d), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, d, d), lambda l: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, d), lambda l: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[row_spec] * steps,
         out_shape=[jax.ShapeDtypeStruct((bp, np_, d), wdt)] * steps,
@@ -214,8 +235,7 @@ def _fwd_impl(s0, mask, wq, bq, wk, bk, wg, bg, interpret):
         compiler_params=_vmem_params(_ROW_BLOCK, np_, d, steps),
     )(
         s0p, maskp,
-        wq.astype(wdt), bq.astype(jnp.float32),
-        wk.astype(wdt), bk.astype(jnp.float32),
+        mm.astype(wdt), vv,
         wg.astype(wdt), bg.astype(jnp.float32),
     )
     return outs[-1][:b, :n], (s0p, maskp, outs)
@@ -250,6 +270,7 @@ def _sgr_bwd(interpret, res, g_out):
         rest = refs[steps + 1:]
         _bwd_kernel(s_refs, *rest, steps=steps, grid_n=grid)
 
+    mm, vv = _fold_qk(wq, bq, wk)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -259,15 +280,11 @@ def _sgr_bwd(interpret, res, g_out):
                 pl.BlockSpec((_ROW_BLOCK, np_), lambda l: (l, 0),
                              memory_space=pltpu.VMEM),
                 row_spec,  # g_out
-                wspec, bspec, wspec, bspec, wspec, bspec,
+                wspec, bspec, wspec, bspec,
             ]
         ),
         out_specs=[
             row_spec,
-            pl.BlockSpec((steps, d, d), lambda l: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, d), lambda l: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, d, d), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((steps, d), lambda l: (0, 0),
@@ -283,12 +300,8 @@ def _sgr_bwd(interpret, res, g_out):
             jax.ShapeDtypeStruct((steps, d), jnp.float32),
             jax.ShapeDtypeStruct((steps, d, d), jnp.float32),
             jax.ShapeDtypeStruct((steps, d), jnp.float32),
-            jax.ShapeDtypeStruct((steps, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((steps, d), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((steps, d, d), jnp.float32),
-            pltpu.VMEM((steps, d), jnp.float32),
             pltpu.VMEM((steps, d, d), jnp.float32),
             pltpu.VMEM((steps, d), jnp.float32),
             pltpu.VMEM((steps, d, d), jnp.float32),
@@ -298,16 +311,24 @@ def _sgr_bwd(interpret, res, g_out):
         compiler_params=_vmem_params(_ROW_BLOCK, np_, d, steps),
     )(
         s0p, *saves[:-1], saves[-1], maskp, g_out_p,
-        wq.astype(wdt), bq.astype(jnp.float32),
-        wk.astype(wdt), bk.astype(jnp.float32),
+        mm.astype(wdt), vv,
         wg.astype(wdt), bg.astype(jnp.float32),
     )
-    g_s0, dwq, dbq, dwk, dbk, dwg, dbg = outs
+    g_s0, dmm, dvv, dwg, dbg = outs
+    # convert the folded cotangents back to the checkpoint layout
+    # (module docstring): dWq = dM Wk, dWk = dM^T Wq + dv (x) bq,
+    # dbq = dv Wk, dbk = 0 (exact).
+    f32 = jnp.float32
+    dwq = jnp.einsum("sab,sbo->sao", dmm, wk.astype(f32))
+    dwk = jnp.einsum("sab,sao->sbo", dmm, wq.astype(f32)) + jnp.einsum(
+        "sb,so->sbo", dvv, bq.astype(f32)
+    )
+    dbq = jnp.einsum("sb,sbo->so", dvv, wk.astype(f32))
     return (
         g_s0[:b, :n].astype(wdt),
         jnp.zeros((b, n), jnp.float32),
         dwq.astype(wq.dtype), dbq.astype(bq.dtype),
-        dwk.astype(wk.dtype), dbk.astype(bk.dtype),
+        dwk.astype(wk.dtype), jnp.zeros_like(bk),
         dwg.astype(wg.dtype), dbg.astype(bg.dtype),
     )
 
